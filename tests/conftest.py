@@ -1,0 +1,32 @@
+"""Test configuration: force a virtual 8-device CPU mesh before JAX imports.
+
+Multi-chip sharding tests run against 8 virtual CPU devices
+(``--xla_force_host_platform_device_count=8``); real-TPU execution is
+exercised by bench.py / the driver, not by the unit suite.
+"""
+
+import os
+
+# The session environment presets JAX_PLATFORMS=axon (one real tunneled TPU
+# chip); the unit suite must run hermetically on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# jaxtyping's pytest plugin imports jax before this conftest runs, so jax's
+# config may already have captured JAX_PLATFORMS=axon — override it directly
+# (safe as long as no backend has been initialized yet).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

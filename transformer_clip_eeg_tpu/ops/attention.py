@@ -1,0 +1,116 @@
+"""Transformer blocks replicating the reference's attention numerics.
+
+Load-bearing quirk (ref ``clip_model.py:39-40``): attention logits are scaled
+by ``emb_size ** 0.5`` — the *full* embedding size, not the per-head dim.
+This must be replicated exactly for accuracy parity with reference
+checkpoints.
+
+Block structure (ref ``clip_model.py:75-99``): pre-LN residual blocks,
+``x + Drop(MHA(LN(x)))`` then ``x + Drop(FFN(LN(x)))``, with default
+``num_heads=8``, ``drop_p=0.5``, FFN expansion 4 and exact-erf GELU.
+
+The sequence length here is tiny (192 tokens) and the embedding narrow (64),
+so the win on TPU is fusing the whole block, not FlashAttention-style tiling;
+a Pallas fused kernel lives in ``ops/pallas_attention.py`` and is used on TPU
+backends when shapes allow, with this XLA path as the reference/fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from transformer_clip_eeg_tpu.ops.layers import (
+    Dense,
+    Dropout,
+    LayerNorm,
+    gelu_exact,
+)
+
+Array = jax.Array
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with separate Q/K/V projections (ref clip_model.py:19-45)."""
+
+    emb_size: int
+    num_heads: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        b, t, e = x.shape
+        h = self.num_heads
+        d = e // h
+        queries = Dense(e, name="queries")(x).reshape(b, t, h, d)
+        keys = Dense(e, name="keys")(x).reshape(b, t, h, d)
+        values = Dense(e, name="values")(x).reshape(b, t, h, d)
+        # [B, H, Tq, Tk]
+        energy = jnp.einsum(
+            "bqhd,bkhd->bhqk", queries, keys, preferred_element_type=jnp.float32
+        )
+        # quirk replicated: scale by full emb_size**0.5, not per-head dim
+        scaling = self.emb_size ** 0.5
+        att = jax.nn.softmax(energy / scaling, axis=-1).astype(x.dtype)
+        att = Dropout(self.dropout, name="att_drop")(att, deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, values).reshape(b, t, e)
+        return Dense(e, name="projection")(out)
+
+
+class FeedForwardBlock(nn.Module):
+    """Dense(e→4e) → exact GELU → Dropout → Dense(4e→e) (ref clip_model.py:60-67)."""
+
+    emb_size: int
+    expansion: int = 4
+    drop_p: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        x = Dense(self.expansion * self.emb_size, name="fc1")(x)
+        x = gelu_exact(x)
+        x = Dropout(self.drop_p, name="drop")(x, deterministic)
+        x = Dense(self.emb_size, name="fc2")(x)
+        return x
+
+
+class TransformerEncoderBlock(nn.Module):
+    """Pre-LN residual block (ref clip_model.py:75-94)."""
+
+    emb_size: int
+    num_heads: int = 8
+    drop_p: float = 0.5
+    forward_expansion: int = 4
+    forward_drop_p: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        y = LayerNorm(name="ln1")(x)
+        y = MultiHeadAttention(
+            self.emb_size, self.num_heads, self.drop_p, name="attn"
+        )(y, deterministic)
+        y = Dropout(self.drop_p, name="drop1")(y, deterministic)
+        x = x + y
+        y = LayerNorm(name="ln2")(x)
+        y = FeedForwardBlock(
+            self.emb_size, self.forward_expansion, self.forward_drop_p, name="ffn"
+        )(y, deterministic)
+        y = Dropout(self.drop_p, name="drop2")(y, deterministic)
+        return x + y
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of ``depth`` encoder blocks (ref clip_model.py:97-99)."""
+
+    depth: int
+    emb_size: int
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        for i in range(self.depth):
+            x = TransformerEncoderBlock(self.emb_size, name=f"block_{i}")(
+                x, deterministic
+            )
+        return x

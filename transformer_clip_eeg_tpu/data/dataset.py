@@ -1,0 +1,358 @@
+"""SparrKULee windowing dataset.
+
+Behavioral parity with the reference ``EEGDatasetSimdata``
+(``dataset_loader.py:68-477``), redesigned for a TPU trainer:
+
+* **Host ingest** loads every story once into RAM (same as the reference),
+  applying the exact chunking math: ``number_batches = len // (hop*(bs-1)+
+  window)``, equal ``len_per_batch`` chunks, per-chunk non-overlapping
+  windowing with the drop-last quirk, EEG zero-pad/crop to ``len_per_batch``,
+  globally-unique segment identifiers, <64-channel recordings skipped.
+* **Batch assembly is split from ingest**: ``sample_epoch_indices`` produces
+  the per-chunk ``(idx_per_batch, subs_per_batch)`` arrays with the exact
+  reference sampling semantics (per-subject sampling without replacement +
+  cross-subject column shuffle, ref ``dataset_loader.py:436-464``), so the
+  trainer can run the gather / mixup / augmentation **on device** while this
+  class stays a plain numpy container.  ``__iter__`` provides the reference's
+  host-side iterator for tests and CPU use.
+
+The reference's braindecode augmentations and the ``addEEG`` mixup run on
+device via ``ops/augment.py`` in the TPU trainer; the host iterator applies
+the same jax functions for small-scale use.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from transformer_clip_eeg_tpu.data.discovery import (
+    feature_of_audio_file,
+    story_of_audio_file,
+    story_of_eeg_file,
+    subject_of_eeg_file,
+)
+from transformer_clip_eeg_tpu.ops.windowing import split_into_windows_np
+
+
+def batch_equalizer(data):
+    """Classic match-mismatch batch construction (ref dataset_loader.py:12-65).
+
+    Tiles EEG ×num_stimuli, rolls the stimulus sets so each position is the
+    match exactly once, and emits one-hot labels.  Doubles+ the batch size.
+    """
+    eeg = data[0]
+    num_stimuli = len(data) - 1
+    new_eeg = np.concatenate([eeg] * num_stimuli, axis=0)
+    all_features = [new_eeg]
+
+    args_to_zip = [data[i::num_stimuli] for i in range(1, num_stimuli + 1)]
+    for stimuli_features in zip(*args_to_zip):
+        for i in range(num_stimuli):
+            stimulus_rolled = np.roll(stimuli_features, shift=i, axis=0)
+            stimulus_rolled = stimulus_rolled.reshape(
+                (
+                    stimulus_rolled.shape[0] * stimulus_rolled.shape[1],
+                    stimuli_features[0].shape[-2],
+                    stimuli_features[0].shape[-1],
+                )
+            )
+            all_features.append(stimulus_rolled)
+
+    labels = np.concatenate(
+        [
+            np.tile(
+                np.array(
+                    [[1 if ii == i else 0 for ii in range(num_stimuli)]],
+                    dtype=np.int32,
+                ),
+                (eeg.shape[0], 1),
+            )
+            for i in range(num_stimuli)
+        ],
+        axis=0,
+    )
+    return tuple(all_features), labels
+
+
+class EEGWindowDataset:
+    """Story-chunked, windowed EEG + speech-feature dataset."""
+
+    def __init__(
+        self,
+        files: Sequence[str],
+        audio_files: Sequence[str],
+        window_length: int,
+        hop_length: int,
+        number_mismatch: Optional[int] = None,
+        data_augmentation: Sequence[str] = (),
+        data_augmentation_probability: float = 0.5,
+        addEEG: bool = False,
+        exclusion_list: Sequence[str] = (),
+        batch_size: int = 64,
+        shuffle: bool = False,
+        shuffle_percentage: float = 0.5,
+        seed: Optional[int] = None,
+    ):
+        self.exclusion_list = list(exclusion_list)
+        files = self.exclude_subjects(list(files), self.exclusion_list)
+        self.eeg_files, self.audio_files = self.group_recordings(files, audio_files)
+
+        self.batch_size = batch_size
+        self.window_length = window_length
+        self.hop_length = hop_length
+        self.number_mismatch = number_mismatch
+        self.shuffle_subs = shuffle
+        self.shuffle_percentage = shuffle_percentage
+        self.addEEG = addEEG
+        self.data_augmentation = list(data_augmentation)
+        self.data_augmentation_probability = data_augmentation_probability
+        self.rng = np.random.default_rng(seed)
+        self._aug_fn = None  # built lazily (jax import only when needed)
+
+        self.features_to_load = self.filter_features(self.audio_files)
+        self.chunks: Dict[str, Dict] = self.load_files(
+            self.eeg_files, self.audio_files
+        )
+        self.batches_keys: List[str] = list(self.chunks.keys())
+
+    # -- discovery ----------------------------------------------------------
+
+    @staticmethod
+    def exclude_subjects(files: List[str], exclusion_list: Sequence[str]) -> List[str]:
+        return [f for f in files if not any(x in f for x in exclusion_list)]
+
+    @staticmethod
+    def group_recordings(files, audio_files):
+        """Pair EEG files to stimuli by story name (ref dataset_loader.py:291-331)."""
+        eeg_dict: Dict[str, List[str]] = {}
+        for file in files:
+            eeg_dict.setdefault(story_of_eeg_file(file), []).append(file)
+        audio_dict: Dict[str, Dict[str, str]] = {}
+        for file in audio_files:
+            story = story_of_audio_file(file)
+            if story not in eeg_dict:
+                continue  # audio without EEG is dropped
+            audio_dict.setdefault(story, {})[feature_of_audio_file(file)] = file
+        return eeg_dict, audio_dict
+
+    @staticmethod
+    def filter_features(audio_dict) -> List[str]:
+        features: List[str] = []
+        for story_files in audio_dict.values():
+            for feature in story_files:
+                if feature not in features:
+                    features.append(feature)
+        return features
+
+    @staticmethod
+    def load_speech(audio_dict) -> Dict[str, Dict[str, np.ndarray]]:
+        """Pickle-based stimulus loading (eval path, ref dataset_loader.py:183-195)."""
+        speech_data: Dict[str, Dict[str, np.ndarray]] = {}
+        for story, files in audio_dict.items():
+            speech_data.setdefault(story, {})
+            for feature, speech_file in files.items():
+                if feature not in speech_data[story]:
+                    with open(speech_file, "rb") as f:
+                        speech_data[story][feature] = pickle.load(f)
+        return speech_data
+
+    # -- ingest -------------------------------------------------------------
+
+    def load_files(self, eeg_dict, audio_dict) -> Dict[str, Dict]:
+        """Core ingestion (ref dataset_loader.py:197-281), semantics preserved
+        exactly (chunk counts, padding, identifier numbering, channel guard).
+        """
+        wl, hop, bs = self.window_length, self.hop_length, self.batch_size
+        chunks: Dict[str, Dict] = {}
+        id_max = 0
+
+        for story, eeg_files in eeg_dict.items():
+            audio_files = audio_dict.get(story, {})
+            number_batches = 0
+            len_per_batch = 0
+            total_len = 0
+            first = True
+            for feature_name, path in audio_files.items():
+                data = np.load(path)
+                if "wav2vec" not in feature_name:
+                    data = np.concatenate(data, axis=0)
+                if first:
+                    total_len = data.shape[0]
+                    number_batches = int(total_len / (hop * (bs - 1) + wl))
+                    if number_batches == 0:
+                        print(f"story {story} is too short, skipping this one")
+                        break
+                    len_per_batch = int(total_len / number_batches)
+                    for i in range(number_batches):
+                        chunks[f"{story}_batch_{i}"] = {}
+                    first = False
+                data_split = np.split(
+                    data, range(len_per_batch, total_len, len_per_batch), axis=0
+                )[:number_batches]
+                for i in range(number_batches):
+                    chunks[f"{story}_batch_{i}"][feature_name] = (
+                        split_into_windows_np(data_split[i], wl)
+                    )
+
+            if number_batches == 0:
+                continue
+
+            for eeg_file in eeg_files:
+                data = np.load(eeg_file)
+                data = np.transpose(data)
+                if data.shape[1] < 64:
+                    print(f"eeg too short: {eeg_file} , {data.shape}")
+                    with open("eeg_too_short.txt", "a") as f:
+                        f.write(eeg_file + "\n")
+                    continue
+                sub = subject_of_eeg_file(eeg_file)
+                data_split = np.split(
+                    data, range(len_per_batch, total_len, len_per_batch), axis=0
+                )[:number_batches]
+                for i in range(number_batches):
+                    piece = data_split[i]
+                    if piece.shape[0] < len_per_batch:
+                        piece = np.concatenate(
+                            [piece, np.zeros((len_per_batch - piece.shape[0], 64))],
+                            axis=0,
+                        )
+                    elif piece.shape[0] > len_per_batch:
+                        piece = piece[:len_per_batch, :]
+                    windows = split_into_windows_np(piece, wl)[None, :]
+                    chunk = chunks[f"{story}_batch_{i}"]
+                    if "eeg" not in chunk:
+                        chunk["eeg"] = windows
+                    else:
+                        chunk["eeg"] = np.concatenate([chunk["eeg"], windows], axis=0)
+                    if "identifiers" not in chunk:
+                        chunk["identifiers"] = [
+                            j + id_max + 1 for j in range(chunk["eeg"].shape[1])
+                        ]
+                        id_max = chunk["identifiers"][-1]
+                    if "sub" not in chunk:
+                        chunk["sub"] = [sub]
+                    else:
+                        chunk["sub"].append(sub)
+
+        return chunks
+
+    # -- sizing -------------------------------------------------------------
+
+    def get_number_of_stimuli_segments(self) -> int:
+        """Total unique speech segments — sizes the memory bank
+        (ref dataset_loader.py:167-172)."""
+        return sum(c["eeg"].shape[1] for c in self.chunks.values() if "eeg" in c)
+
+    def __len__(self) -> int:
+        return len(self.batches_keys)
+
+    # -- batch index sampling (exact reference semantics) -------------------
+
+    def create_eeg_indices(self, eeg: np.ndarray):
+        """Per-chunk sampling (ref dataset_loader.py:436-464): per subject,
+        ``bs`` window indices without replacement; optional cross-subject
+        permutation of the first ``bs * shuffle_percentage`` columns."""
+        n_subs, len_batch = eeg.shape[0], eeg.shape[1]
+        bs = self.batch_size
+        speech_idx = np.stack(
+            [self.rng.choice(len_batch, bs, replace=False) for _ in range(n_subs)]
+        )
+        subs_per_batch = np.repeat(range(n_subs), bs).reshape(n_subs, bs)
+        if self.shuffle_subs:
+            half_len = int(bs * self.shuffle_percentage)
+            subs_per_batch = np.concatenate(
+                [
+                    self.rng.permuted(subs_per_batch[:, :half_len], axis=0),
+                    subs_per_batch[:, half_len:],
+                ],
+                axis=1,
+            )
+        return speech_idx, subs_per_batch
+
+    def sample_epoch_indices(self):
+        """One epoch worth of device-gatherable indices: yields per chunk
+        ``(key, idx_per_batch [n_subs, bs], subs_per_batch [n_subs, bs])`` in
+        the (shuffled) chunk order."""
+        for key in self.batches_keys:
+            chunk = self.chunks[key]
+            if "eeg" not in chunk:
+                continue
+            idx, subs = self.create_eeg_indices(chunk["eeg"])
+            yield key, idx, subs
+
+    # -- host-side iteration (reference-compatible) -------------------------
+
+    def _augment(self, eeg_batch: np.ndarray) -> np.ndarray:
+        if not self.data_augmentation:
+            return eeg_batch
+        if self._aug_fn is None:
+            from transformer_clip_eeg_tpu.ops.augment import make_augmentation_fn
+
+            self._aug_fn = make_augmentation_fn(
+                self.data_augmentation, self.data_augmentation_probability
+            )
+        import jax
+
+        key = jax.random.PRNGKey(int(self.rng.integers(0, 2**31 - 1)))
+        return np.asarray(self._aug_fn(key, eeg_batch))
+
+    def _mixup(self, eeg: np.ndarray) -> np.ndarray:
+        """Host twin of ops.augment.mixup_eeg (ref dataset_loader.py:333-356)."""
+        if not self.addEEG:
+            return eeg
+        n_subs, n_win = eeg.shape[0], eeg.shape[1]
+        probabilities = self.rng.random((n_subs, n_win))
+        alphas = self.rng.random((n_subs, n_win))
+        do_aug = probabilities < self.data_augmentation_probability
+        m = 1 - alphas * do_aug
+        partner = self.rng.integers(0, n_subs, (n_subs, n_win))
+        partner_eeg = eeg[partner, np.arange(n_win)[None, :]]
+        return m[..., None, None] * eeg + (1 - m[..., None, None]) * partner_eeg
+
+    def __iter__(self) -> Iterator[Tuple]:
+        """Reference-compatible epoch iterator yielding
+        ``(eeg_batch [bs, wl, 64], [speech features...], ids [bs], subs [bs])``
+        (ref dataset_loader.py:392-422)."""
+        for pos, key in enumerate(list(self.batches_keys)):
+            chunk = self.chunks[key]
+            if "eeg" not in chunk or not self.features_to_load:
+                continue
+            speech = [chunk[f] for f in self.features_to_load if f in chunk]
+            eeg = self._mixup(chunk["eeg"])
+            ids = np.array(chunk["identifiers"])
+            subs = np.array(chunk["sub"])
+            if pos == len(self.batches_keys) - 1:
+                self.on_epoch_end()
+            idx_per_batch, subs_per_batch = self.create_eeg_indices(eeg)
+            for i in range(eeg.shape[0]):
+                idx = idx_per_batch[i, :]
+                eeg_batch = np.squeeze(eeg[subs_per_batch[i], idx, :, :])
+                eeg_batch = self._augment(eeg_batch)
+                speech_batch = [feature[idx, :, :] for feature in speech]
+                yield eeg_batch, speech_batch, ids[idx], subs[subs_per_batch[i]]
+
+    def iter_subject_windows(self) -> Iterator[Tuple]:
+        """Per-(subject, chunk) windows for the regression evaluation suite:
+        yields ``(sub, story_key, eeg [n, wl, 64], features dict)``.
+
+        (The reference's regression evals expect 5-tuples the in-repo loader
+        never yields — ``train_clip_helper_functions.py:508-519`` skips every
+        batch as a result; this iterator is the working equivalent.)"""
+        for key in self.batches_keys:
+            chunk = self.chunks[key]
+            if "eeg" not in chunk:
+                continue
+            feats = {f: chunk[f] for f in self.features_to_load if f in chunk}
+            for si, sub in enumerate(chunk["sub"]):
+                yield sub, key, chunk["eeg"][si], feats
+
+    def on_epoch_end(self):
+        self.rng.shuffle(self.batches_keys)
+
+
+# Reference-compatible alias (public API name in the reference).
+EEGDatasetSimdata = EEGWindowDataset

@@ -1,0 +1,188 @@
+"""Synthetic SparrKULee-format fixture generator for hermetic tests.
+
+Builds a miniature dataset tree with the exact on-disk contracts the
+discovery/ingest layers expect (ref ``train_clip_helper_functions.py:388-390``,
+``dataset_loader.py:197-281``, ``create_wav2vec.py:154-155``):
+
+    root/
+      fold_split.json
+      derivatives/preprocessed_eeg/<sub>/<sub>_..._-audio-<story>_eeg.npy  [64, T]
+      derivatives/preprocessed_stimuli/<story>_-_wav2vec_19.npy            [T, 1024]
+      derivatives/preprocessed_stimuli/<story>_-_env.npy                   [1, T, 1]
+      derivatives/preprocessed_stimuli/<story>_-_mel.npy                   [1, T, 28]
+    icassp/TEST_task1_matchmismatch/
+      labels/*.json, sub-*.json, wav2vec_segments_wholefile_64hz/*.pkl
+    icassp/TEST_task2_regression/
+      labels/*.json, sub-*.json
+
+The EEG is generated as a noisy linear mix of the stimulus feature so that a
+trained model has real signal to find (useful for end-to-end training
+smoke tests that must reach above-chance accuracy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+FS = 64
+
+
+def make_fixture(
+    root: str,
+    n_stories: int = 4,
+    n_subjects: int = 3,
+    story_seconds: int = 120,
+    speech_dim: int = 32,
+    window_length: int = 192,
+    seed: int = 0,
+    correlated: bool = True,
+    n_test_subjects: int = 1,
+) -> Dict:
+    """Create the fixture tree under ``root``; returns metadata.
+
+    ``speech_dim`` defaults small (32) to keep tests fast, but files are
+    named ``wav2vec_19`` so the default stimulus flag works unchanged.
+    """
+    rng = np.random.default_rng(seed)
+    eeg_dir = os.path.join(root, "derivatives", "preprocessed_eeg")
+    stim_dir = os.path.join(root, "derivatives", "preprocessed_stimuli")
+    os.makedirs(eeg_dir, exist_ok=True)
+    os.makedirs(stim_dir, exist_ok=True)
+
+    stories = [f"audiobook_{i + 1}" for i in range(n_stories)]
+    all_subjects = [f"sub-{i + 1:03d}" for i in range(n_subjects + n_test_subjects)]
+    train_subjects = all_subjects[:n_subjects]
+    test_subjects = all_subjects[n_subjects:]
+
+    # fold split: stories round-robin over folds 0..min(8, n)-1, last story as
+    # the 2023 test set
+    folds: Dict[str, List[str]] = {str(i): [] for i in range(9)}
+    for i, story in enumerate(stories[:-1]):
+        folds[str(i % 9)].append(story)
+    split = dict(folds)
+    split["test_set_2023_1"] = [stories[-1]]
+    split["train_subs"] = train_subjects
+    split["test_subs"] = test_subjects
+    with open(os.path.join(root, "fold_split.json"), "w") as f:
+        json.dump(split, f)
+
+    t = story_seconds * FS
+    mix = rng.standard_normal((speech_dim, 64)).astype(np.float32) / np.sqrt(
+        speech_dim
+    )
+    story_speech = {}
+    for story in stories:
+        speech = rng.standard_normal((t, speech_dim)).astype(np.float32)
+        story_speech[story] = speech
+        np.save(os.path.join(stim_dir, f"{story}_-_wav2vec_19.npy"), speech)
+        env = np.abs(speech[:, :1])
+        np.save(os.path.join(stim_dir, f"{story}_-_env.npy"), env[None, :, :])
+        mel = np.abs(speech[:, : min(28, speech_dim)])
+        if mel.shape[1] < 28:
+            mel = np.tile(mel, (1, int(np.ceil(28 / mel.shape[1]))))[:, :28]
+        np.save(os.path.join(stim_dir, f"{story}_-_mel.npy"), mel[None, :, :])
+
+        for sub in all_subjects:
+            sub_dir = os.path.join(eeg_dir, sub)
+            os.makedirs(sub_dir, exist_ok=True)
+            noise = rng.standard_normal((t, 64)).astype(np.float32)
+            if correlated:
+                eeg = story_speech[story] @ mix + 0.5 * noise
+            else:
+                eeg = noise
+            name = f"{sub}_task-listening_-audio-{story}_eeg.npy"
+            np.save(os.path.join(sub_dir, name), eeg.T)  # on-disk layout [64, T]
+
+    meta = {
+        "stories": stories,
+        "train_subjects": train_subjects,
+        "test_subjects": test_subjects,
+        "speech_dim": speech_dim,
+        "t": t,
+        "root": root,
+    }
+    _make_icassp_testset(
+        root, rng, mix, speech_dim, window_length, n_subjects=2, meta=meta
+    )
+    return meta
+
+
+def _make_icassp_testset(
+    root: str,
+    rng: np.random.Generator,
+    mix: np.ndarray,
+    speech_dim: int,
+    window_length: int,
+    n_subjects: int,
+    meta: Dict,
+):
+    """ICASSP-2023 challenge test folders (match-mismatch + regression)."""
+    mm_dir = os.path.join(root, "icassp", "TEST_task1_matchmismatch")
+    seg_dir = os.path.join(mm_dir, "wav2vec_segments_wholefile_64hz")
+    lab_dir = os.path.join(mm_dir, "labels")
+    os.makedirs(seg_dir, exist_ok=True)
+    os.makedirs(lab_dir, exist_ok=True)
+
+    # candidate stimulus segments: one pkl of {key: [wl, speech_dim]}
+    n_segments = 12
+    seg_keys = [f"teststory_-_seg{i}" for i in range(n_segments)]
+    segments = {
+        k: rng.standard_normal((window_length, speech_dim)).astype(np.float32)
+        for k in seg_keys
+    }
+    with open(os.path.join(seg_dir, "teststory_-_wav2vec_19.pkl"), "wb") as f:
+        pickle.dump(segments, f)
+
+    for si in range(n_subjects):
+        sub = f"sub-9{si:02d}"
+        mapping = {}
+        labels = {}
+        for trial in range(8):
+            key = f"{sub}_trial{trial}"
+            match_idx, mismatch_idx = rng.choice(n_segments, 2, replace=False)
+            label = int(rng.integers(0, 2))
+            cand = (
+                [seg_keys[match_idx], seg_keys[mismatch_idx]]
+                if label == 0
+                else [seg_keys[mismatch_idx], seg_keys[match_idx]]
+            )
+            eeg = (
+                segments[seg_keys[match_idx]] @ mix
+                + 0.5 * rng.standard_normal((window_length, 64))
+            ).astype(np.float32)
+            mapping[key] = [eeg.tolist(), cand[0] + ".npy", cand[1] + ".npy"]
+            labels[key] = label
+        with open(os.path.join(mm_dir, f"{sub}.json"), "w") as f:
+            json.dump(mapping, f)
+        with open(os.path.join(lab_dir, f"{sub}_labels.json"), "w") as f:
+            json.dump(labels, f)
+
+    # task 2: regression — per-subject trials of raw EEG + envelope labels
+    reg_dir = os.path.join(root, "icassp", "TEST_task2_regression")
+    reg_lab_dir = os.path.join(reg_dir, "labels")
+    os.makedirs(reg_lab_dir, exist_ok=True)
+    t_trial = window_length * 4  # several overlap-add windows
+    for si in range(n_subjects):
+        sub = f"sub-9{si:02d}"
+        mapping = {}
+        labels = {}
+        for trial in range(3):
+            key = f"{sub}_reg_trial{trial}"
+            speech = rng.standard_normal((t_trial, speech_dim)).astype(np.float32)
+            eeg = (
+                speech @ mix + 0.5 * rng.standard_normal((t_trial, 64))
+            ).astype(np.float32)
+            mapping[key] = eeg.tolist()
+            labels[key] = [np.abs(speech[:, 0]).tolist()]
+        with open(os.path.join(reg_dir, f"{sub}.json"), "w") as f:
+            json.dump(mapping, f)
+        with open(os.path.join(reg_lab_dir, f"{sub}_labels.json"), "w") as f:
+            json.dump(labels, f)
+
+    meta["icassp_mm_dir"] = mm_dir
+    meta["icassp_reg_dir"] = reg_dir

@@ -1,0 +1,160 @@
+"""Headline benchmark: flagship training throughput (EEG–speech pairs/sec).
+
+Measures the full jitted training step — on-device gather-free batch,
+forward (EEGConformerInterleaved depth 10 + convLSTM speech encoder),
+InfoNCE, backward, AdamW update, memory-bank scatter — at the reference's
+default configuration (batch 128, 192-sample windows, wav2vec-19 1024-dim
+features; ref ``train_clip_final.py:150-218``).
+
+The reference publishes no numbers (BASELINE.md), so the baseline is the
+reference's own torch training step measured on this host (cached in
+``BENCH_BASELINE.json`` after the first run).  Prints ONE JSON line:
+
+    {"metric": "train_throughput", "value": N, "unit": "pairs/s",
+     "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
+
+BATCH = 128
+WINDOW = 192
+SPEECH_DIM = 1024
+DEPTH = 10
+TIMED_STEPS = 20
+
+
+def measure_ours() -> float:
+    import jax
+
+    sys.path.insert(0, REPO)
+    from __graft_entry__ import _flagship
+    from transformer_clip_eeg_tpu.train.state import (
+        init_train_state,
+        make_optimizer,
+    )
+    from transformer_clip_eeg_tpu.train.steps import make_train_step
+
+    model = _flagship(
+        window_length=WINDOW, speech_dim=SPEECH_DIM, depth=DEPTH,
+        bank_size=4096,
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "eeg": rng.standard_normal((BATCH, WINDOW, 64)).astype(np.float32),
+        "speech": rng.standard_normal((BATCH, WINDOW, SPEECH_DIM)).astype(
+            np.float32
+        ),
+        "ids": np.arange(1, BATCH + 1, dtype=np.int32),
+    }
+    tx = make_optimizer("adamw", 1e-3)
+    state = init_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        (batch["eeg"], batch["speech"], batch["ids"]),
+        tx,
+    )
+    step = make_train_step("clip_sim_no_latent_proj")
+    key = jax.random.PRNGKey(1)
+    batch = jax.device_put(batch)
+
+    # warmup / compile
+    for _ in range(3):
+        state, losses = step(state, batch, key, warmup=False)
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        state, losses = step(state, batch, key, warmup=False)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    return BATCH * TIMED_STEPS / dt
+
+
+def measure_reference() -> float:
+    """Time the reference's own train step (torch, this host's torch device)."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    import clip_model as ref  # noqa: E402
+
+    device = "cuda" if torch.cuda.is_available() else "cpu"
+    torch.manual_seed(0)
+    eeg_enc = ref.EEGConformerInterleaved(
+        output_dim=8, conformer_input_dim=64, dropout_rate=0.2, eeg_dim=64,
+        filters=[64], kernels=[64], dilation_rate=1, time_dimension=WINDOW,
+        depth=DEPTH,
+    )
+    speech_enc = ref.EEGConvLSTM(
+        units_lstm=128, output_dim=8, dropout_rate=0.4, eeg_dim=SPEECH_DIM,
+        filters=[64], kernels=[32], dilation_rate=1, time_dimension=WINDOW,
+    )
+    latent = speech_enc.get_output_dim(WINDOW)
+    bank = ref.memoryBank(bank_size=4096, device=device, dim=latent)
+    model = ref.CLIPSimNoLatentProj(
+        eegModel=eeg_enc, speechModel=speech_enc, eegMemoryBank=bank,
+        temperature=0.075, window_length=WINDOW,
+    ).to(device)
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=0.01)
+
+    g = torch.Generator().manual_seed(0)
+    eeg = torch.randn((BATCH, WINDOW, 64), generator=g).to(device)
+    speech = torch.randn((BATCH, WINDOW, SPEECH_DIM), generator=g).to(device)
+    ids = torch.arange(1, BATCH + 1, dtype=torch.int64).to(device)
+
+    model.train()
+    n_steps = 3
+    # warmup
+    loss_ce, _, loss_total = model(eeg, speech, ids)
+    opt.zero_grad(); loss_total.backward(); opt.step()
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        loss_ce, _, loss_total = model(eeg, speech, ids)
+        opt.zero_grad()
+        loss_total.backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return BATCH * n_steps / dt
+
+
+def main():
+    ours = measure_ours()
+
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            baseline = json.load(f)["reference_pairs_per_s"]
+    else:
+        try:
+            baseline = measure_reference()
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump(
+                    {
+                        "reference_pairs_per_s": baseline,
+                        "note": "reference torch default-config train step, "
+                        "measured on this host",
+                    },
+                    f,
+                )
+        except Exception as e:  # reference unavailable → no baseline ratio
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+            baseline = None
+
+    result = {
+        "metric": "train_throughput",
+        "value": round(ours, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(ours / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

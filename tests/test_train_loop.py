@@ -1,0 +1,139 @@
+"""End-to-end training-layer tests on the synthetic SparrKULee fixture."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from transformer_clip_eeg_tpu.data.dataset import EEGWindowDataset
+from transformer_clip_eeg_tpu.data.discovery import get_train_val_test_files_final
+from transformer_clip_eeg_tpu.data.fixtures import make_fixture
+from transformer_clip_eeg_tpu.train import (
+    TrainConfig,
+    Trainer,
+    batch_iterator,
+    make_scheduler,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sparrkulee"))
+    make_fixture(root, n_stories=3, n_subjects=3, story_seconds=60, speech_dim=16)
+    return root
+
+
+def small_config(root, **overrides) -> TrainConfig:
+    defaults = dict(
+        data_dir=root,
+        run=0,
+        batch_size=8,
+        epochs=3,
+        patience=5,
+        attention_depth=2,
+        latent_dim=4,
+        lstm_units=16,
+        window_length_s=3,
+        number_of_training_subjects=3,
+        stimulus_features="wav2vec_19",
+        speech_dim_override=16,  # fixture stimuli are 16-dim for speed
+    )
+    defaults.update(overrides)
+    return TrainConfig(**defaults)
+
+
+def make_datasets(cfg: TrainConfig):
+    (train_f, val_f, _t, _h, train_a, val_a, _ta, _ha) = (
+        get_train_val_test_files_final(
+            cfg.data_dir,
+            cfg.run,
+            cfg.stimulus_features,
+            cfg.fold_split_path,
+            cfg.number_of_training_subjects,
+        )
+    )
+    train_ds = EEGWindowDataset(
+        train_f,
+        train_a,
+        cfg.window_length,
+        cfg.hop_length,
+        batch_size=cfg.batch_size,
+        shuffle=cfg.shuffle_b,
+        shuffle_percentage=cfg.shuffle_percentage,
+        seed=0,
+    )
+    val_ds = EEGWindowDataset(
+        val_f, val_a, cfg.window_length, cfg.hop_length,
+        batch_size=cfg.batch_size, seed=0,
+    )
+    return train_ds, val_ds
+
+
+def test_batch_iterator_shapes(fixture_root):
+    cfg = small_config(fixture_root)
+    train_ds, _ = make_datasets(cfg)
+    batches = list(batch_iterator(train_ds, add_eeg=True))
+    assert batches
+    b = batches[0]
+    assert b["eeg"].shape == (8, 192, 64)
+    assert b["partner_eeg"].shape == (8, 192, 64)
+    assert b["speech"].shape == (8, 192, 16)
+    assert b["ids"].shape == (8,)
+    assert b["ids"].min() >= 1
+
+
+def test_trainer_learns_and_checkpoints(fixture_root, tmp_path):
+    cfg = small_config(fixture_root, epochs=3)
+    train_ds, val_ds = make_datasets(cfg)
+    results_dir = str(tmp_path / "results_run")
+    trainer = Trainer(cfg, train_ds, val_ds, results_dir=results_dir)
+    out = trainer.fit()
+
+    assert out["best_loss"] < float("inf")
+    assert len(out["history"]) >= 1
+    # loss should drop from epoch 0 to the best epoch on correlated data
+    first = out["history"][0]["val_loss_ce"]
+    assert out["best_loss"] <= first + 1e-6
+    # checkpoint exists and args.txt round-trips
+    assert os.path.isdir(os.path.join(results_dir, "checkpoints", "model_ckpt"))
+    loaded = TrainConfig.load(os.path.join(results_dir, "args.txt"))
+    assert loaded.model_arch == cfg.model_arch
+
+    # resume: a fresh trainer on the same results dir restores the checkpoint
+    trainer2 = Trainer(cfg, train_ds, val_ds, results_dir=results_dir)
+    restored_from = trainer2.fit()
+    assert restored_from["best_loss"] <= out["best_loss"] + 0.5
+
+
+def test_scheduler_semantics():
+    s = make_scheduler("step", 1.0, 2)
+    lrs = [s.step() for _ in range(5)]
+    assert lrs == [1.0, 0.1, 0.1, pytest.approx(0.01), pytest.approx(0.01)]
+
+    s = make_scheduler("plateau", 1.0)
+    for _ in range(7):
+        lr = s.step(1.0)
+    assert lr == pytest.approx(0.1)
+
+    s = make_scheduler("cosine", 1.0)
+    first = s.step()
+    assert 0.9 < first < 1.0
+    for _ in range(9):
+        last = s.step()
+    assert last == pytest.approx(0.0, abs=1e-9)
+
+    s = make_scheduler("cosine_warmup", 1.0)
+    vals = [s.step() for _ in range(11)]
+    assert vals[9] == pytest.approx(1.0)  # restart at epoch 10
+
+
+def test_warmup_uses_loss_ce_only(fixture_root, tmp_path):
+    cfg = small_config(fixture_root, epochs=1, warmup_epochs=1, lambda_sim_loss=1.0)
+    train_ds, val_ds = make_datasets(cfg)
+    trainer = Trainer(
+        cfg, train_ds, val_ds, results_dir=str(tmp_path / "warmup_run")
+    )
+    out = trainer.fit()
+    assert np.isfinite(out["history"][0]["val_loss_ce"])

@@ -1,0 +1,76 @@
+"""Orbax checkpointing with the reference's best-on-val-CE policy.
+
+The reference saves ``model.state_dict()`` to ``checkpoints/model.ckpt``
+whenever validation ``loss_ce`` improves, auto-resumes from it at startup,
+and restores the in-memory best on early stop
+(ref ``train_clip_final.py:443-449,463-468,531-540``).  Here the checkpoint
+is the full train-state pytree (params + memory bank + batch stats + optimizer
+state + step) so resume continues optimizer momentum too — strictly more than
+the reference persists, saved atomically by orbax.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from transformer_clip_eeg_tpu.train.state import TrainState
+
+CKPT_NAME = "model_ckpt"
+
+
+def _state_payload(state: TrainState):
+    return {
+        "step": state.step,
+        "params": state.params,
+        "membank": state.membank,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+
+
+def save_checkpoint(checkpoint_dir: str, state: TrainState) -> str:
+    """Atomically (over)write ``<dir>/model_ckpt``."""
+    path = os.path.abspath(os.path.join(checkpoint_dir, CKPT_NAME))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, _state_payload(jax.device_get(state)), force=True)
+    return path
+
+
+def restore_checkpoint(
+    checkpoint_dir: str, state: TrainState
+) -> Optional[TrainState]:
+    """Restore into the given state template; None if no checkpoint exists."""
+    path = os.path.abspath(os.path.join(checkpoint_dir, CKPT_NAME))
+    if not os.path.exists(path):
+        return None
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(
+        path, args=ocp.args.PyTreeRestore(_state_payload(state))
+    )
+    return state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        membank=restored["membank"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+
+
+def save_params_only(path: str, variables: Any) -> None:
+    """Save bare model variables (the probe checkpoints' analogue of the
+    reference's per-subject ``.pth`` files,
+    ref ``train_clip_helper_functions.py:660-663``)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.device_get(variables), force=True)
+
+
+def restore_params_only(path: str, template: Any) -> Any:
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(
+        os.path.abspath(path), args=ocp.args.PyTreeRestore(template)
+    )

@@ -1,0 +1,343 @@
+"""The training driver: epoch loop, early stopping, checkpointing, logging.
+
+Faithful to the reference training loop (ref ``train_clip_final.py:443-540``):
+auto-resume from ``checkpoints/``, warmup epochs backprop ``loss_ce`` only,
+per-epoch scheduler step, validation under eval mode (memory bank still
+updating, as the reference's does), best-on-val-CE checkpoint + in-memory
+best restored on early stop, ``loss.txt`` tee logging every 100 batches.
+
+TPU-first differences: batches are assembled on host by cheap index gathers
+and streamed to the device with double-buffering; augmentation/mixup and the
+whole fwd/bwd/update run as one donated jitted program; under a mesh the batch
+is sharded over the 'data' axis with the state replicated (global-batch
+InfoNCE semantics are preserved by XLA — see ``parallel/``).
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import time
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_clip_eeg_tpu.data.dataset import EEGWindowDataset
+from transformer_clip_eeg_tpu.models.registry import (
+    build_model,
+    load_eeg_encoder,
+    load_speech_encoder,
+)
+from transformer_clip_eeg_tpu.train import checkpoint as ckpt_lib
+from transformer_clip_eeg_tpu.train.config import TrainConfig
+from transformer_clip_eeg_tpu.train.schedulers import make_scheduler
+from transformer_clip_eeg_tpu.train.state import (
+    TrainState,
+    count_params,
+    init_train_state,
+    make_optimizer,
+    set_learning_rate,
+)
+from transformer_clip_eeg_tpu.train.steps import (
+    make_eval_step,
+    make_train_step,
+)
+
+
+def printf(statement: str, file: str) -> None:
+    """print + append to file (ref train_clip_final.py:31-34)."""
+    print(statement)
+    with open(file, "a") as f:
+        f.write(statement + "\n")
+
+
+def batch_iterator(
+    dataset: EEGWindowDataset,
+    add_eeg: bool = False,
+    rng: Optional[np.random.Generator] = None,
+    shuffle_chunks: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """One epoch of fixed-shape numpy batches from the chunked dataset.
+
+    Per chunk: the reference's index sampling (per-subject without
+    replacement + cross-subject column shuffle, ref dataset_loader.py:436-464)
+    then a host-side gather to ``[bs, wl, C]``.  When ``add_eeg`` a partner
+    batch (same windows, uniformly random subjects) is gathered too so mixup
+    itself runs on device (ref :333-356 does this in a host Python loop).
+    """
+    rng = rng or dataset.rng
+    keys = list(dataset.batches_keys)
+    if shuffle_chunks:
+        rng.shuffle(keys)
+    feature = dataset.features_to_load[0]
+    for key in keys:
+        chunk = dataset.chunks[key]
+        if "eeg" not in chunk or feature not in chunk:
+            continue
+        eeg = chunk["eeg"]  # [n_subs, n_win, wl, 64]
+        speech = chunk[feature]  # [n_win, wl, F]
+        ids = np.asarray(chunk["identifiers"])
+        idx_per_batch, subs_per_batch = dataset.create_eeg_indices(eeg)
+        n_subs = eeg.shape[0]
+        for i in range(n_subs):
+            idx = idx_per_batch[i]
+            batch = {
+                "eeg": eeg[subs_per_batch[i], idx].astype(np.float32),
+                "speech": speech[idx].astype(np.float32),
+                "ids": ids[idx].astype(np.int32),
+            }
+            if add_eeg:
+                partner = rng.integers(0, n_subs, idx.shape[0])
+                batch["partner_eeg"] = eeg[partner, idx].astype(np.float32)
+            yield batch
+
+
+def prefetch_to_device(
+    iterator: Iterator[Dict[str, np.ndarray]],
+    size: int = 2,
+    sharding=None,
+) -> Iterator[Dict[str, jax.Array]]:
+    """Double-buffered async host→device transfer (the reference moves each
+    batch synchronously with ``.to(device)`` inside the hot loop,
+    ref train_clip_final.py:476-479)."""
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
+class Trainer:
+    """End-to-end trainer assembled from a :class:`TrainConfig`."""
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        train_dataset: EEGWindowDataset,
+        val_dataset: Optional[EEGWindowDataset] = None,
+        results_dir: Optional[str] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.cfg = config
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.mesh = mesh
+        self.results_dir = results_dir or os.path.join(
+            config.results_folder,
+            config.results_dir_name(time.strftime("%Y_%m_%d_%H_%M_%S")),
+        )
+        self.checkpoint_dir = os.path.join(self.results_dir, "checkpoints")
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        self.loss_file = os.path.join(self.results_dir, "loss.txt")
+        config.save(os.path.join(self.results_dir, "args.txt"))
+
+        cfg = config
+        # memory-bank sizing (ref train_clip_final.py:367-372)
+        bank_size = train_dataset.get_number_of_stimuli_segments()
+        if val_dataset is not None:
+            # the reference's val dataset restarts ids at 1 and shares the
+            # bank; sizing by the max id seen keeps every update in range
+            bank_size = max(bank_size, val_dataset.get_number_of_stimuli_segments())
+        eeg_enc = load_eeg_encoder(
+            cfg.eeg_encoder,
+            cfg.lstm_units,
+            cfg.spatial_filters,
+            cfg.number_conv_layers,
+            cfg.window_length,
+            cfg.latent_dim,
+            cfg.attention_depth,
+        )
+        speech_enc = load_speech_encoder(
+            cfg.speech_encoder,
+            cfg.lstm_units,
+            cfg.spatial_filters,
+            cfg.number_conv_layers,
+            cfg.window_length,
+            cfg.stride_temporal,
+            cfg.speech_dimension,
+            cfg.latent_dim,
+        )
+        self.model = build_model(
+            cfg.model_arch,
+            eeg_enc,
+            speech_enc,
+            window_length=cfg.window_length,
+            temperature=cfg.temperature,
+            latent_dim=cfg.latent_dim,
+            bank_size=bank_size,
+            lambda_clip_loss=cfg.lambda_clip_loss,
+            lambda_sim_loss=cfg.lambda_sim_loss,
+            momentum_membank=cfg.momentum_membank,
+        )
+
+        self.tx = make_optimizer(
+            cfg.optimizer,
+            cfg.learning_rate,
+            cfg.beta1,
+            cfg.beta2,
+            cfg.weight_decay,
+            cfg.amsgrad_b,
+        )
+        self.scheduler = make_scheduler(
+            cfg.lr_scheduler, cfg.learning_rate, cfg.step_size_scheduler
+        )
+        self.train_step = make_train_step(
+            cfg.model_arch,
+            cfg.augmentations,
+            cfg.data_augmentation_percentage,
+            cfg.addEEG_b,
+        )
+        self.eval_step = make_eval_step(cfg.model_arch)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.batch_sharding = NamedSharding(mesh, P("data"))
+            self.replicated = NamedSharding(mesh, P())
+        else:
+            self.batch_sharding = None
+            self.replicated = None
+
+        # initialize state from one example batch
+        example = next(batch_iterator(train_dataset, cfg.addEEG_b))
+        self.state = init_train_state(
+            self.model,
+            jax.random.PRNGKey(cfg.seed),
+            (example["eeg"], example["speech"], example["ids"]),
+            self.tx,
+        )
+        if self.replicated is not None:
+            self.state = jax.device_put(self.state, self.replicated)
+
+        n_total = count_params(self.state.params)
+        printf(f"number of parameters {n_total}", self.loss_file)
+
+    # -- training -----------------------------------------------------------
+
+    def _device_batches(self, dataset, add_eeg):
+        it = batch_iterator(dataset, add_eeg)
+        return prefetch_to_device(it, sharding=self.batch_sharding)
+
+    def fit(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        # auto-resume (ref train_clip_final.py:443-449)
+        restored = ckpt_lib.restore_checkpoint(self.checkpoint_dir, self.state)
+        if restored is not None:
+            self.state = restored
+            printf(
+                f"loaded model from {self.checkpoint_dir}", self.loss_file
+            )
+        else:
+            printf(
+                f"no model found at {self.checkpoint_dir}, training from scratch",
+                self.loss_file,
+            )
+
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        best_loss = float("inf")
+        best_epoch = 0
+        best_state = self.state
+        history: List[Dict[str, float]] = []
+
+        for epoch in range(cfg.epochs):
+            # early stopping (ref :463-468)
+            if epoch > best_epoch + cfg.patience and epoch > cfg.warmup_epochs:
+                self.state = best_state
+                printf(f"early stopping at epoch {epoch}", self.loss_file)
+                break
+
+            warmup = epoch < cfg.warmup_epochs
+            t0 = time.time()
+            n_batches = 0
+            n_pairs = 0
+            for batch in self._device_batches(self.train_dataset, cfg.addEEG_b):
+                self.state, losses = self.train_step(
+                    self.state, batch, rng, warmup=warmup
+                )
+                if n_batches % 100 == 0:
+                    if cfg.is_kld:
+                        printf(
+                            f"train epoch {epoch} batch {n_batches} loss_ce "
+                            f"{float(losses['loss_ce'])} loss pmu2 "
+                            f"{float(losses['log_pmu2'])}, log z2: "
+                            f"{float(losses['kld_z2'])}",
+                            self.loss_file,
+                        )
+                    else:
+                        printf(
+                            f"train epoch {epoch} batch {n_batches} loss_ce "
+                            f"{float(losses['loss_ce'])} loss average eeg "
+                            f"{float(losses['loss_avg'])}",
+                            self.loss_file,
+                        )
+                n_batches += 1
+                n_pairs += batch["eeg"].shape[0]
+            jax.block_until_ready(self.state.params)
+            epoch_time = time.time() - t0
+
+            # scheduler (ref :502-504); plateau consumes last val loss
+            if cfg.lr_scheduler != "no":
+                last_val = history[-1]["val_loss_ce"] if history else None
+                lr = self.scheduler.step(last_val)
+                self.state = self.state.replace(
+                    opt_state=set_learning_rate(self.state.opt_state, lr)
+                )
+
+            # validation (ref :506-529)
+            val_metrics = self.evaluate()
+            printf(
+                f"validation epoch {epoch}: mean loss ce : "
+                f"{val_metrics['loss_ce']}, mean loss average: "
+                f"{val_metrics.get('loss_avg', val_metrics.get('log_pmu2', 0.0))},"
+                f" mean loss total: {val_metrics['loss_total']}",
+                self.loss_file,
+            )
+            history.append(
+                {
+                    "epoch": epoch,
+                    "val_loss_ce": val_metrics["loss_ce"],
+                    "val_loss_total": val_metrics["loss_total"],
+                    "epoch_time_s": epoch_time,
+                    "train_pairs_per_s": n_pairs / max(epoch_time, 1e-9),
+                }
+            )
+
+            # best-on-val-CE checkpoint (ref :531-540)
+            if val_metrics["loss_ce"] < best_loss:
+                ckpt_lib.save_checkpoint(self.checkpoint_dir, self.state)
+                best_loss = val_metrics["loss_ce"]
+                best_epoch = epoch
+                best_state = self.state
+        else:
+            self.state = best_state
+
+        return {
+            "best_loss": best_loss,
+            "best_epoch": best_epoch,
+            "history": history,
+            "results_dir": self.results_dir,
+        }
+
+    def evaluate(self) -> Dict[str, float]:
+        """Mean validation losses over the val set (ref :506-529)."""
+        if self.val_dataset is None:
+            return {"loss_ce": float("nan"), "loss_total": float("nan")}
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch in self._device_batches(self.val_dataset, add_eeg=False):
+            self.state, losses = self.eval_step(self.state, batch)
+            for k, v in losses.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        return {k: v / max(count, 1) for k, v in sums.items()}

@@ -1,0 +1,203 @@
+"""Jitted train / validation steps.
+
+One fused XLA program per step: on-device EEG augmentation + cross-subject
+mixup, both encoder forwards, the InfoNCE matmul, backward, AdamW update, and
+the memory-bank scatter.  (The reference does augmentation/mixup in host
+Python per batch — ref ``dataset_loader.py:333-356,424-434`` — and the
+optimizer step in eager torch; here the whole step is one compiled program
+with the state pytree donated, so weights never round-trip to the host.)
+
+Warmup semantics (ref ``train_clip_final.py:486-491``): during the first
+``warmup_epochs`` epochs the gradient is taken on ``loss_ce`` alone; after
+that, on ``loss_total``.  ``warmup`` is a static argument — two compiled
+variants exist at most.
+
+Under a device mesh the same step is compiled with batch inputs sharded over
+the 'data' axis and the state replicated; GSPMD inserts the all-gather for
+the global B×B similarity so the InfoNCE keeps *global*-batch semantics (see
+``parallel/``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from transformer_clip_eeg_tpu.ops.augment import make_augmentation_fn
+from transformer_clip_eeg_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def _split_outputs(model_arch: str, outs) -> Dict[str, Array]:
+    """Normalize head outputs into named losses.
+
+    Non-KLD heads return ``(loss_ce, loss_avg, loss_total)``
+    (ref clip_model.py:939-944); KLD heads return
+    ``(loss_total, loss_ce, log_pmu2, kld_z2)`` (ref :1279).
+    """
+    if model_arch in ("clip_kld", "clip_kld_latent_proj"):
+        loss_total, loss_ce, log_pmu2, kld_z2 = outs
+        return {
+            "loss_ce": loss_ce,
+            "loss_total": loss_total,
+            "log_pmu2": log_pmu2,
+            "kld_z2": kld_z2,
+        }
+    loss_ce, loss_avg, loss_total = outs
+    return {
+        "loss_ce": loss_ce,
+        "loss_avg": loss_avg,
+        "loss_total": loss_total,
+    }
+
+
+def _apply_mixup(
+    key: Array, eeg: Array, partner_eeg: Array, probability: float
+) -> Array:
+    """Batch-level cross-subject mixup ('addEEG', ref dataset_loader.py:333-356).
+
+    The host gathers, for each batch row, the same segment from a uniformly
+    random other subject (``partner_eeg``); on device we draw per-row
+    (probability, α) and convex-combine — the same distribution as the
+    reference's per-(subject, segment) host loop.
+    """
+    k1, k2 = jax.random.split(key)
+    b = eeg.shape[0]
+    do_aug = jax.random.uniform(k1, (b,)) < probability
+    alphas = jax.random.uniform(k2, (b,))
+    m = 1.0 - alphas * do_aug
+    return (m[:, None, None] * eeg + (1.0 - m[:, None, None]) * partner_eeg).astype(
+        eeg.dtype
+    )
+
+
+def make_train_step(
+    model_arch: str,
+    augmentations: Sequence[str] = (),
+    augmentation_probability: float = 0.5,
+    add_eeg: bool = False,
+    donate: bool = True,
+    in_shardings=None,
+    out_shardings=None,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns ``step(state, batch, rng, warmup) -> (state, metrics)`` where
+    ``batch = {'eeg', 'speech', 'ids'[, 'partner_eeg']}``.
+    """
+    aug_fn = (
+        make_augmentation_fn(augmentations, augmentation_probability)
+        if augmentations
+        else None
+    )
+
+    def train_step(
+        state: TrainState, batch: Dict[str, Array], rng: Array, warmup: bool
+    ) -> Tuple[TrainState, Dict[str, Array]]:
+        rng = jax.random.fold_in(rng, state.step)
+        k_aug, k_mix, k_drop, k_sample = jax.random.split(rng, 4)
+        eeg = batch["eeg"]
+        if add_eeg:
+            eeg = _apply_mixup(
+                k_mix, eeg, batch["partner_eeg"], augmentation_probability
+            )
+        if aug_fn is not None:
+            eeg = aug_fn(k_aug, eeg)
+
+        def loss_fn(params):
+            variables = dict(state.variables)
+            variables["params"] = params
+            outs, mutated = state.apply_fn(
+                variables,
+                eeg,
+                batch["speech"],
+                batch["ids"],
+                deterministic=False,
+                mutable=["membank", "batch_stats"],
+                rngs={"dropout": k_drop, "sample": k_sample},
+            )
+            losses = _split_outputs(model_arch, outs)
+            objective = losses["loss_ce"] if warmup else losses["loss_total"]
+            return objective, (losses, mutated)
+
+        grads, (losses, mutated) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads,
+            new_membank=mutated.get("membank", state.membank),
+            new_batch_stats=mutated.get("batch_stats", state.batch_stats),
+        )
+        return new_state, losses
+
+    return jax.jit(
+        train_step,
+        static_argnames=("warmup",),
+        donate_argnums=(0,) if donate else (),
+        in_shardings=in_shardings,
+        out_shardings=out_shardings,
+    )
+
+
+def make_eval_step(
+    model_arch: str,
+    update_membank: bool = True,
+    in_shardings=None,
+    out_shardings=None,
+) -> Callable:
+    """Build the jitted validation step: ``step(state, batch) -> (state, metrics)``.
+
+    The reference runs validation under ``model.eval()`` + ``no_grad`` but the
+    memory bank still EMA-updates on every forward (ref clip_model.py:731-745
+    — the update is unconditional), so the bank is threaded through here too;
+    batch-norm uses running stats and is not updated (eval mode).
+    """
+
+    def eval_step(
+        state: TrainState, batch: Dict[str, Array]
+    ) -> Tuple[TrainState, Dict[str, Array]]:
+        outs, mutated = state.apply_fn(
+            state.variables,
+            batch["eeg"],
+            batch["speech"],
+            batch["ids"],
+            deterministic=True,
+            mutable=["membank"] if update_membank else [],
+        )
+        losses = _split_outputs(model_arch, outs)
+        new_state = state.replace(
+            membank=mutated.get("membank", state.membank)
+        )
+        return new_state, losses
+
+    return jax.jit(
+        eval_step,
+        in_shardings=in_shardings,
+        out_shardings=out_shardings,
+    )
+
+
+def make_embed_fns(model) -> Tuple[Callable, Callable]:
+    """Jitted ``(embed_eeg, embed_speech)`` for the evaluation suite.
+
+    Each maps raw windows to flattened L2-normalized embeddings — the
+    pattern the challenge eval applies (ref
+    ``train_clip_helper_functions.py:103-108,146-149``; note the eval path
+    uses a plain ``flatten(start_dim=1)``, *without* the training head's
+    transpose-if-wider quirk)."""
+    from transformer_clip_eeg_tpu.models.heads import flatten_features
+    from transformer_clip_eeg_tpu.ops.layers import l2_normalize
+
+    @jax.jit
+    def embed_eeg(variables, eeg):
+        feats = model.apply(variables, eeg, method=model.encode_eeg)
+        return l2_normalize(flatten_features(feats), 1)
+
+    @jax.jit
+    def embed_speech(variables, speech):
+        feats = model.apply(variables, speech, method=model.encode_speech)
+        return l2_normalize(flatten_features(feats), 1)
+
+    return embed_eeg, embed_speech

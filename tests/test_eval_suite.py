@@ -1,0 +1,188 @@
+"""Evaluation-suite tests: mm challenge, regression probes, overlap-add, CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from transformer_clip_eeg_tpu.data.dataset import EEGWindowDataset
+from transformer_clip_eeg_tpu.data.discovery import get_train_val_test_files_final
+from transformer_clip_eeg_tpu.data.fixtures import make_fixture
+from transformer_clip_eeg_tpu.eval import (
+    evaluate_model_challenge_2023_mm,
+    evaluate_model_challenge_2023_regression,
+    evaluate_model_do_regression_sub_independent,
+    evaluate_model_do_regression_sub_specific,
+    hann_overlap_add,
+    match_time_length,
+)
+from transformer_clip_eeg_tpu.train import TrainConfig, Trainer
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """A briefly-trained flagship-arch model on a correlated fixture."""
+    root = str(tmp_path_factory.mktemp("sparrkulee_eval"))
+    make_fixture(root, n_stories=3, n_subjects=3, story_seconds=60, speech_dim=16)
+    cfg = TrainConfig(
+        data_dir=root, run=0, batch_size=8, epochs=2, patience=5,
+        attention_depth=2, latent_dim=4, lstm_units=16,
+        number_of_training_subjects=3, speech_dim_override=16,
+    )
+    files = get_train_val_test_files_final(
+        root, 0, "wav2vec_19", cfg.fold_split_path, 3
+    )
+    train_f, val_f, test_f = files[0], files[1], files[2]
+    train_a, val_a, test_a = files[4], files[5], files[6]
+    train_ds = EEGWindowDataset(
+        train_f, train_a, 192, 192, batch_size=8, shuffle=True,
+        shuffle_percentage=1.0, seed=0,
+    )
+    val_ds = EEGWindowDataset(val_f, val_a, 192, 192, batch_size=8, seed=0)
+    results_dir = os.path.join(root, "results_run")
+    trainer = Trainer(cfg, train_ds, val_ds, results_dir=results_dir)
+    trainer.fit()
+    return {
+        "root": root, "cfg": cfg, "trainer": trainer,
+        "files": dict(
+            train_f=train_f, val_f=val_f, test_f=test_f,
+            train_a=train_a, val_a=val_a, test_a=test_a,
+        ),
+        "results_dir": results_dir,
+    }
+
+
+def test_match_time_length():
+    emb = np.arange(12, dtype=np.float32).reshape(1, 6, 2)
+    up = match_time_length(emb, 12)
+    assert up.shape == (1, 12, 2)
+    # nearest-neighbor: each row duplicated
+    np.testing.assert_array_equal(up[0, 0], up[0, 1])
+    crop = match_time_length(emb, 4)
+    assert crop.shape == (1, 4, 2)
+    pad = match_time_length(emb, 7)  # stride 1 → extrapolate last value
+    np.testing.assert_array_equal(pad[0, -1], emb[0, -1])
+
+
+def test_hann_overlap_add_reconstruction():
+    # constant-input windows must reconstruct a constant signal exactly:
+    # hann(periodic) pairs sum to 1 at 50% overlap, boundaries corrected
+    tw, n_win = 8, 5
+    time_dim = (n_win + 1) * (tw // 2)
+    pred = np.ones((n_win, tw), dtype=np.float32)
+    out = hann_overlap_add(pred, tw, time_dim)
+    np.testing.assert_allclose(out, np.ones(time_dim), atol=1e-6)
+
+
+def test_mm_challenge_eval(trained):
+    mm_dir = os.path.join(trained["root"], "icassp", "TEST_task1_matchmismatch")
+    ev, ev_logits, ev_topx, ev_topx_logits = evaluate_model_challenge_2023_mm(
+        trained["trainer"].model,
+        trained["trainer"].state.variables,
+        mm_dir,
+        speech_feature="wav2vec_19",
+    )
+    assert len(ev) == 2  # two fixture subjects
+    for k, acc in ev.items():
+        assert k.endswith("_mvn")
+        assert 0.0 <= acc <= 1.0
+    for sub, curve in ev_topx.items():
+        assert len(curve) == 12  # 12 candidate stimuli
+        assert curve[-1] == pytest.approx(1.0)  # top-all always includes truth
+        assert all(b >= a - 1e-9 for a, b in zip(curve, curve[1:]))
+
+
+def test_regression_suite_end_to_end(trained, monkeypatch):
+    f = trained["files"]
+    rd = trained["results_dir"]
+    model = trained["trainer"].model
+    variables = trained["trainer"].state.variables
+
+    # keep probe training fast
+    import transformer_clip_eeg_tpu.eval.regression as reg
+
+    orig = reg.train_regression_probe
+
+    def fast_probe(*args, **kw):
+        kw["epochs"] = 5
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(reg, "train_regression_probe", fast_probe)
+
+    ev_sub = evaluate_model_do_regression_sub_specific(
+        model, variables, f["train_f"], f["val_f"], f["test_f"],
+        f["train_a"], f["val_a"], f["test_a"], rd, batch_size=8,
+    )
+    assert len(ev_sub) == 3  # all three train subjects have test stories
+    assert os.path.exists(os.path.join(rd, "evaluation_regression.json"))
+    for sub, loss in ev_sub.items():
+        assert -1.0 <= loss <= 1.0  # negative pearson in [-1, 1]
+
+    ev_gen = evaluate_model_do_regression_sub_independent(
+        model, variables, f["train_f"], f["val_f"], f["test_f"],
+        f["train_a"], f["val_a"], f["test_a"], rd, batch_size=8,
+    )
+    assert len(ev_gen) == 3
+    assert os.path.exists(
+        os.path.join(rd, "evaluation_regression_general_model_env.json")
+    )
+
+    reg_dir = os.path.join(trained["root"], "icassp", "TEST_task2_regression")
+    ev_chal, ev_chal_sub = evaluate_model_challenge_2023_regression(
+        model, variables, rd, reg_dir
+    )
+    assert len(ev_chal) == 2
+    for sub, r in ev_chal.items():
+        assert -1.0 <= r <= 1.0
+    # sub-specific probes exist only for training subjects, not challenge
+    # subjects (sub-9xx), so that dict is empty here
+    preds = os.listdir(os.path.join(rd, "regression_2023_icassp"))
+    assert any(p.endswith("_predictions.json") for p in preds)
+
+
+def test_cli_end_to_end(tmp_path):
+    """The full reference workflow: train → checkpoint → eval JSONs."""
+    root = str(tmp_path / "data")
+    make_fixture(root, n_stories=3, n_subjects=2, story_seconds=45, speech_dim=8)
+    results = str(tmp_path / "results")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import transformer_clip_eeg_tpu.eval.regression as reg;"
+        "_orig=reg.train_regression_probe;"
+        "reg.train_regression_probe="
+        "lambda *a,**k: _orig(*a,**{**k,'epochs':3});"
+        "from transformer_clip_eeg_tpu.cli import main;"
+        "import sys; sys.exit(main(["
+        "'--data_dir', r'%s', '--results_folder', r'%s',"
+        "'--run','0','--epochs','1','--batch_size','4',"
+        "'--attention_depth','1','--latent_dim','4','--lstm_units','8',"
+        "'--speech_dim_override','8','--number_of_training_subjects','2'"
+        "]))"
+    ) % (root, results)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env, capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    run_dirs = os.listdir(results)
+    assert len(run_dirs) == 1
+    rd = os.path.join(results, run_dirs[0])
+    for expected in [
+        "args.txt",
+        "loss.txt",
+        "evaluation_challenge_set_2023_mm.json",
+        "evaluation_challenge_set_2023_mm_top_x.json",
+        "evaluation_regression.json",
+        "evaluation_regression_general_model_env.json",
+        "evaluation_challenge_set_2023_regression.json",
+    ]:
+        assert os.path.exists(os.path.join(rd, expected)), expected
+    with open(os.path.join(rd, "evaluation_challenge_set_2023_mm.json")) as fh:
+        mm = json.load(fh)
+    assert mm  # non-empty accuracy dict

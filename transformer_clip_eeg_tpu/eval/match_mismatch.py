@@ -1,0 +1,188 @@
+"""ICASSP-2023 task-1 match-mismatch + top-X retrieval evaluation.
+
+Behavioral parity with ref ``train_clip_helper_functions.py:51-205``:
+
+* embed ALL candidate stimulus segments once (speech encoder → flatten →
+  L2-normalize),
+* per subject: stack trial EEG from ``sub*.json``, MVN-normalize over the
+  (segments, time) axes — the eval-time normalization contract (ref ``:136``)
+  — embed, then
+  - 2-candidate accuracy: argmax over the diagonal similarities (ref
+    ``:159-164``),
+  - top-X retrieval (X = 1..100) against all stimuli via one matmul +
+    top-k + cumsum (ref ``:176-202``).
+
+TPU-first: embeddings are computed by jitted encoder applies in fixed-size
+chunks (one compile), and the candidate-vs-EEG similarities are batched
+matmuls on device rather than per-trial loops.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import pickle
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from transformer_clip_eeg_tpu.eval.labels import load_labels_match_mismatch_2023
+
+
+def embed_in_chunks(
+    embed_fn: Callable, variables, data: np.ndarray, chunk: int = 128
+) -> np.ndarray:
+    """Apply a jitted embed fn in fixed-size padded chunks (one compile)."""
+    n = data.shape[0]
+    if n == 0:
+        return np.zeros((0,))
+    pad = (-n) % chunk
+    if pad:
+        data = np.concatenate([data, np.zeros((pad,) + data.shape[1:], data.dtype)])
+    outs = [
+        np.asarray(embed_fn(variables, data[i : i + chunk]))
+        for i in range(0, data.shape[0], chunk)
+    ]
+    return np.concatenate(outs, axis=0)[:n]
+
+
+def evaluate_model_challenge_2023_mm(
+    model,
+    variables,
+    eeg_folder: str,
+    speech_feature: str = "wav2vec_19",
+    subject: Optional[str] = None,
+) -> Tuple[Dict, Dict, Dict, Dict]:
+    """Returns (accuracy, logits, top_x, top_x_logits) dicts keyed by subject
+    (ref train_clip_helper_functions.py:51-205)."""
+    from transformer_clip_eeg_tpu.train.steps import make_embed_fns
+
+    embed_eeg, embed_speech = make_embed_fns(model)
+
+    # folder name is fixed regardless of feature (ref :58)
+    stimulus_folder = os.path.join(eeg_folder, "wav2vec_segments_wholefile_64hz")
+    labels_folder = os.path.join(eeg_folder, "labels")
+    all_groundtruth_labels = load_labels_match_mismatch_2023(labels_folder)
+
+    if subject is not None:
+        test_eeg_mapping = [os.path.join(eeg_folder, f"{subject}.json")]
+        test_stimuli = glob.glob(
+            os.path.join(stimulus_folder, f"*{speech_feature}*.pkl")
+        )
+    else:
+        test_eeg_mapping = glob.glob(os.path.join(eeg_folder, "sub*.json"))
+        test_stimuli = glob.glob(
+            os.path.join(stimulus_folder, f"*{speech_feature}*.pkl")
+        )
+
+    # embed all candidate stimuli once (ref :92-108)
+    test_stimuli_embeddings: Dict[str, np.ndarray] = {}
+    for stimulus_path in test_stimuli:
+        with open(stimulus_path, "rb") as f:
+            data = pickle.load(f)
+        keys = list(data.keys())
+        # the last segment of a file may be ragged; drop it (ref :99-100)
+        if len(keys) >= 2 and data[keys[-1]].shape != data[keys[-2]].shape:
+            keys = keys[:-1]
+        segments = np.stack([data[key] for key in keys]).astype(np.float32)
+        embeddings = embed_in_chunks(embed_speech, variables, segments)
+        test_stimuli_embeddings.update(
+            {key: embeddings[i] for i, key in enumerate(keys)}
+        )
+
+    evaluation: Dict = {}
+    evaluation_with_logits: Dict = {}
+    evaluation_top_x: Dict = {}
+    evaluation_top_x_with_logits: Dict = {}
+
+    list_keys_stimuli = list(test_stimuli_embeddings.keys())
+    if not list_keys_stimuli:
+        print("No test stimuli found for match-mismatch evaluation, skipping.")
+        return {}, {}, {}, {}
+    all_stimuli_matrix = np.stack(
+        [test_stimuli_embeddings[k] for k in list_keys_stimuli]
+    )
+
+    for sub_stimulus_mapping_path in test_eeg_mapping:
+        subject_name = os.path.basename(sub_stimulus_mapping_path).split(".")[0]
+        try:
+            with open(sub_stimulus_mapping_path) as f:
+                sub_stimulus_mapping = json.load(f)
+        except Exception:
+            print(f"error with {sub_stimulus_mapping_path}")
+            continue
+        id_list = list(sub_stimulus_mapping.keys())
+
+        data_eeg = np.squeeze(
+            np.stack([sub_stimulus_mapping[key][0] for key in id_list])
+        ).astype(np.float32)
+        # MVN over (segments, time) — the eval normalization contract (ref :136)
+        data_eeg_mvn = (
+            data_eeg - np.mean(data_eeg, axis=(0, 1), keepdims=True)
+        ) / np.std(data_eeg, axis=(0, 1), keepdims=True)
+
+        labels_in_order = [all_groundtruth_labels[x] for x in id_list]
+        correct_keys = [
+            sub_stimulus_mapping[key][all_groundtruth_labels[key] + 1].split(".")[0]
+            for key in id_list
+        ]
+
+        eeg_embeddings = embed_in_chunks(embed_eeg, variables, data_eeg_mvn)
+
+        # 2-candidate accuracy (ref :153-164): diag(eeg @ candidate_j.T)
+        cand = np.stack(
+            [
+                np.stack(
+                    [
+                        test_stimuli_embeddings[
+                            sub_stimulus_mapping[key][j].split(".")[0]
+                        ]
+                        for j in (1, 2)
+                    ]
+                )
+                for key in id_list
+            ]
+        )  # [n_trials, 2, D]
+        speech_eeg_logits = np.einsum("nd,njd->jn", eeg_embeddings, cand)
+        max_sim = np.argmax(speech_eeg_logits, axis=0)
+        accuracy = float(np.mean(max_sim == np.asarray(labels_in_order)))
+        evaluation[subject_name + "_mvn"] = accuracy
+        print(f"evaluation mm with mvn : {accuracy}, {subject_name}")
+
+        evaluation_with_logits[subject_name] = {
+            key: (speech_eeg_logits[:, i].tolist(), labels_in_order[i])
+            for i, key in enumerate(id_list)
+        }
+
+        # top-X retrieval vs all stimuli (ref :176-202)
+        correct_keys_idx = np.asarray(
+            [list_keys_stimuli.index(x) for x in correct_keys], dtype=np.int32
+        )
+        logits = eeg_embeddings @ all_stimuli_matrix.T
+        maxtop = min(100, logits.shape[1])
+        topk_idx = np.argsort(-logits, axis=1)[:, :maxtop]
+        labels_rep = np.reshape(
+            np.repeat(correct_keys_idx, maxtop), (len(correct_keys_idx), -1)
+        )
+        is_correct = np.equal(labels_rep, topk_idx)
+        correct_top = np.mean(np.cumsum(is_correct, axis=1), axis=0)
+        evaluation_top_x[subject_name] = correct_top.tolist()
+        evaluation_top_x_with_logits[subject_name] = {
+            "logits": logits.tolist(),
+            "correct_keys_idx": correct_keys_idx.tolist(),
+            "correct_top": correct_top.tolist(),
+        }
+        print(
+            f"evaluation mm top x: {subject_name} : top1 "
+            f"{correct_top[0] * 100}, top10: "
+            f"{correct_top[min(9, maxtop - 1)] * 100}"
+        )
+
+    return (
+        evaluation,
+        evaluation_with_logits,
+        evaluation_top_x,
+        evaluation_top_x_with_logits,
+    )

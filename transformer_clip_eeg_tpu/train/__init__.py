@@ -11,6 +11,7 @@ from transformer_clip_eeg_tpu.train.state import (
 )
 from transformer_clip_eeg_tpu.train.steps import (
     make_embed_fns,
+    make_encode_fn,
     make_eval_step,
     make_train_step,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "count_params",
     "init_train_state",
     "make_embed_fns",
+    "make_encode_fn",
     "make_eval_step",
     "make_optimizer",
     "make_scheduler",

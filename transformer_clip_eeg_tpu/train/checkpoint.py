@@ -69,8 +69,12 @@ def save_params_only(path: str, variables: Any) -> None:
     ckptr.save(os.path.abspath(path), jax.device_get(variables), force=True)
 
 
-def restore_params_only(path: str, template: Any) -> Any:
+def restore_params_only(path: str, template: Any = None) -> Any:
+    """Restore bare variables; with ``template=None`` the tree structure is
+    read from the checkpoint itself."""
     ckptr = ocp.PyTreeCheckpointer()
+    if template is None:
+        return ckptr.restore(os.path.abspath(path))
     return ckptr.restore(
         os.path.abspath(path), args=ocp.args.PyTreeRestore(template)
     )

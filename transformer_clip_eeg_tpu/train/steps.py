@@ -179,6 +179,18 @@ def make_eval_step(
     )
 
 
+def make_encode_fn(model) -> Callable:
+    """Jitted raw EEG-encoder apply (no flatten/normalize) — the regression
+    evals consume per-timestep embeddings (ref
+    ``train_clip_helper_functions.py:530,146``)."""
+
+    @jax.jit
+    def encode_eeg(variables, eeg):
+        return model.apply(variables, eeg, method=model.encode_eeg)
+
+    return encode_eeg
+
+
 def make_embed_fns(model) -> Tuple[Callable, Callable]:
     """Jitted ``(embed_eeg, embed_speech)`` for the evaluation suite.
 

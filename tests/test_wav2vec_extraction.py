@@ -1,0 +1,158 @@
+"""Extraction-pipeline tests: chunked hidden-output parity + main-loop run."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from transformer_clip_eeg_tpu.models.wav2vec2 import (
+    Wav2Vec2Config,
+    Wav2Vec2Model,
+    convert_hf_wav2vec2,
+)
+from transformer_clip_eeg_tpu.preprocess.wav2vec import (
+    Wav2Vec2FeatureExtractor,
+    extract_stimulus_features,
+)
+
+SR = 160  # scaled-down "16 kHz" so tiny-model chunks stay small
+FRAMES_PER_S = 8  # with conv strides (5, 2, 2) → stride 20 = SR/8
+
+
+@pytest.fixture(scope="module")
+def tiny(hf_pair=None):
+    import torch
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2Model as HFModel
+
+    torch.manual_seed(1)
+    hf_cfg = HFConfig(
+        hidden_size=24,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=48,
+        conv_dim=(12, 12, 12),
+        conv_stride=(5, 2, 2),
+        conv_kernel=(10, 3, 3),
+        conv_bias=True,
+        feat_extract_norm="layer",
+        do_stable_layer_norm=True,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+    )
+    hf_model = HFModel(hf_cfg).eval()
+    model = Wav2Vec2Model(Wav2Vec2Config.from_hf(hf_cfg))
+    variables = convert_hf_wav2vec2(hf_model)
+    return hf_model, model, variables
+
+
+def reference_get_hidden_output(hf_model, audio, layers, overlap, segment_length):
+    """The reference's chunk loop (ref create_wav2vec.py:68-123) executed
+    verbatim-semantics on the torch model, scaled to SR/FRAMES_PER_S."""
+    import torch
+
+    speech_array = np.expand_dims(audio, 0)
+    seg = segment_length * SR
+    wav_length = speech_array.size
+    padded = np.concatenate(
+        [np.zeros((1, int(overlap / 2) * SR), np.float32), speech_array], axis=1
+    )
+    outputs = {l: [] for l in layers}
+    end_of_file = False
+    for i in range(int(wav_length / seg) + 1):
+        start = i * seg
+        end = start + seg + overlap * SR
+        if end < padded.size:
+            seg_arr = padded[:, start:end]
+        else:
+            seg_arr = padded[:, start:]
+            end_of_file = True
+        with torch.no_grad():
+            hs = hf_model(
+                torch.from_numpy(seg_arr), output_hidden_states=True
+            ).hidden_states
+        for layer in layers:
+            out = np.squeeze(hs[layer].numpy())
+            cut = int(overlap / 2) * FRAMES_PER_S
+            if end_of_file:
+                out = out[cut:]
+            else:
+                out = out[cut : -cut + 1, :]
+            outputs[layer].append(out)
+        # NB: the reference loop has no break — later iterations append
+        # further tail chunks once end_of_file triggers
+    return {l: np.vstack(v) for l, v in outputs.items()}
+
+
+@pytest.mark.parametrize(
+    "n_samples",
+    [
+        SR * 7 + 37,  # ordinary ragged tail
+        int(SR * 6.2),  # triggers the reference's duplicated-tail quirk
+    ],
+)
+def test_chunked_extraction_parity(tiny, n_samples):
+    hf_model, model, variables = tiny
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(n_samples).astype(np.float32)
+
+    extractor = Wav2Vec2FeatureExtractor(
+        model, variables, layers=(1, 3), sr=SR, frames_per_s=FRAMES_PER_S
+    )
+    ours = extractor.get_hidden_output(audio, overlap=2, segment_length=2)
+    ref = reference_get_hidden_output(
+        hf_model, audio, layers=(1, 3), overlap=2, segment_length=2
+    )
+    for layer in (1, 3):
+        assert ours[layer].shape == ref[layer].shape
+        np.testing.assert_allclose(ours[layer], ref[layer], atol=3e-4, rtol=1e-3)
+
+
+def test_extract_stimulus_features_main_loop(tiny, tmp_path):
+    _, model, variables = tiny
+    stim_dir = tmp_path / "stimuli" / "eeg"
+    save_dir = tmp_path / "derivatives" / "preprocessed_stimuli"
+    os.makedirs(stim_dir)
+    rng = np.random.default_rng(1)
+
+    def write_npz_gz(name, seconds, fs=SR * 2):
+        raw = tmp_path / f"{name}.npz"
+        np.savez(raw, audio=rng.standard_normal(fs * seconds).astype(np.float32),
+                 fs=fs)
+        with open(raw, "rb") as f_in, gzip.open(
+            stim_dir / f"{name}.npz.gz", "wb"
+        ) as f_out:
+            f_out.write(f_in.read())
+
+    write_npz_gz("story_one", 5)
+    write_npz_gz("noise_story", 5)  # must be skipped
+    write_npz_gz("t_trigger", 5)  # must be skipped
+
+    extractor = Wav2Vec2FeatureExtractor(
+        model, variables, layers=(2,), sr=SR, frames_per_s=FRAMES_PER_S
+    )
+    saved = extract_stimulus_features(
+        extractor, str(stim_dir), str(save_dir), overlap=2, segment_length=2,
+        final_rate_hz=10,
+    )
+    assert len(saved) == 1
+    out = np.load(saved[0])
+    assert os.path.basename(saved[0]) == "story_one_-_wav2vec_2.npy"
+    assert out.shape[1] == 24  # hidden size
+    # 50→64-style resampling: frames * 10/8
+    # (exact count depends on strip math; just check it's plausible)
+    assert out.shape[0] > 0
+
+    # idempotent second run
+    saved2 = extract_stimulus_features(
+        extractor, str(stim_dir), str(save_dir), overlap=2, segment_length=2,
+        final_rate_hz=10,
+    )
+    assert saved2 == []

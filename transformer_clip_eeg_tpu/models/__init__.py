@@ -40,6 +40,11 @@ from transformer_clip_eeg_tpu.models.registry import (
     load_speech_encoder,
     build_model,
 )
+from transformer_clip_eeg_tpu.models.wav2vec2 import (
+    Wav2Vec2Config,
+    Wav2Vec2Model,
+    convert_hf_wav2vec2,
+)
 
 __all__ = [
     "BasicBlock",
@@ -76,4 +81,7 @@ __all__ = [
     "load_eeg_encoder",
     "load_speech_encoder",
     "build_model",
+    "Wav2Vec2Config",
+    "Wav2Vec2Model",
+    "convert_hf_wav2vec2",
 ]

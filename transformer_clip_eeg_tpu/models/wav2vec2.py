@@ -1,0 +1,331 @@
+"""wav2vec2 speech encoder in JAX (XLSR-53 architecture).
+
+The reference extracts layer-19 hidden states of
+``jonatasgrosman/wav2vec2-large-xlsr-53-dutch`` with HuggingFace torch
+(ref ``create_wav2vec.py:11-23,94-109``).  This is the same architecture
+implemented TPU-first in flax:
+
+* conv feature encoder (7 strided convs, per-layer LayerNorm, exact GELU),
+* feature projection (LayerNorm → Linear 512→1024),
+* grouped positional conv embedding (kernel 128, groups 16, weight-norm
+  folded into a plain kernel at conversion time),
+* pre-LN ("stable layer norm") transformer stack, 24 layers, d=1024,
+  16 heads, FFN 4096,
+* **early exit at the tap layer** — the reference runs all 24 layers and
+  takes ``hidden_states[19]`` (ref ``:109,115``); computing layers past the
+  tap is pure waste, so ``tap_layer`` bounds the stack (~20% FLOPs saved for
+  layer 19 of 24).
+
+Weights load from any HF torch ``Wav2Vec2Model``/``Wav2Vec2ForCTC`` via
+``convert_hf_wav2vec2`` (weight-norm reparametrization folded; no network
+access needed — pass a locally-available torch module).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    """Architecture hyperparameters (defaults = XLSR-53 large)."""
+
+    conv_dim: Tuple[int, ...] = (512,) * 7
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 3, 2)
+    conv_bias: bool = True
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+
+    def __post_init__(self):
+        if self.hidden_size % self.num_attention_heads:
+            raise ValueError(
+                f"hidden_size {self.hidden_size} not divisible by "
+                f"num_attention_heads {self.num_attention_heads}"
+            )
+        if len(self.conv_dim) != len(self.conv_stride) or len(
+            self.conv_dim
+        ) != len(self.conv_kernel):
+            raise ValueError("conv_dim/conv_stride/conv_kernel length mismatch")
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "Wav2Vec2Config":
+        return cls(
+            conv_dim=tuple(hf_config.conv_dim),
+            conv_stride=tuple(hf_config.conv_stride),
+            conv_kernel=tuple(hf_config.conv_kernel),
+            conv_bias=hf_config.conv_bias,
+            hidden_size=hf_config.hidden_size,
+            num_hidden_layers=hf_config.num_hidden_layers,
+            num_attention_heads=hf_config.num_attention_heads,
+            intermediate_size=hf_config.intermediate_size,
+            num_conv_pos_embeddings=hf_config.num_conv_pos_embeddings,
+            num_conv_pos_embedding_groups=hf_config.num_conv_pos_embedding_groups,
+            layer_norm_eps=hf_config.layer_norm_eps,
+        )
+
+
+def _gelu(x: Array) -> Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+class FeatureEncoder(nn.Module):
+    """Strided conv stack, layer-norm variant (feat_extract_norm='layer')."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        # x: [B, T] raw audio → [B, frames, C]
+        h = x[:, :, None]
+        cfg = self.config
+        for i, (dim, k, s) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+        ):
+            h = nn.Conv(
+                dim,
+                (k,),
+                strides=(s,),
+                padding="VALID",
+                use_bias=cfg.conv_bias,
+                name=f"conv_{i}",
+            )(h)
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=f"layer_norm_{i}")(h)
+            h = _gelu(h)
+        return h
+
+
+class FeatureProjection(nn.Module):
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.LayerNorm(epsilon=self.config.layer_norm_eps, name="layer_norm")(x)
+        return nn.Dense(self.config.hidden_size, name="projection")(x)
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding (weight-norm folded at load)."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.config
+        k = cfg.num_conv_pos_embeddings
+        # torch pads k//2 both sides and drops the last output element when k
+        # is even (Wav2Vec2SamePadLayer)
+        h = nn.Conv(
+            cfg.hidden_size,
+            (k,),
+            padding=[(k // 2, k // 2)],
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            name="conv",
+        )(x)
+        if k % 2 == 0:
+            h = h[:, :-1, :]
+        return _gelu(h)
+
+
+class EncoderLayerStableLayerNorm(nn.Module):
+    """Pre-LN transformer layer (do_stable_layer_norm=True)."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.config
+        d, n_heads = cfg.hidden_size, cfg.num_attention_heads
+        head_dim = d // n_heads
+
+        residual = x
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
+        q = nn.Dense(d, name="q_proj")(h) * (head_dim ** -0.5)
+        k = nn.Dense(d, name="k_proj")(h)
+        v = nn.Dense(d, name="v_proj")(h)
+        b, t = h.shape[0], h.shape[1]
+        q = q.reshape(b, t, n_heads, head_dim)
+        k = k.reshape(b, t, n_heads, head_dim)
+        v = v.reshape(b, t, n_heads, head_dim)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+        h = nn.Dense(d, name="out_proj")(ctx)
+        x = residual + h
+
+        residual = x
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(x)
+        h = nn.Dense(cfg.intermediate_size, name="intermediate_dense")(h)
+        h = _gelu(h)
+        h = nn.Dense(d, name="output_dense")(h)
+        return residual + h
+
+
+class Wav2Vec2Encoder(nn.Module):
+    """Transformer stack with tap-layer early exit.
+
+    ``tap_layer=i`` returns HF ``hidden_states[i]``: the raw output of layer
+    ``i`` (``i=0`` → the post-positional-conv input; ``i=num_layers`` → the
+    final, post-``encoder.layer_norm`` output)."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: Array, tap_layer: Optional[int] = None) -> Array:
+        cfg = self.config
+        n = cfg.num_hidden_layers
+        tap = n if tap_layer is None else tap_layer
+        x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
+        if tap == 0:
+            return x
+        for i in range(min(tap, n)):
+            x = EncoderLayerStableLayerNorm(cfg, name=f"layers_{i}")(x)
+        if tap >= n:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
+        return x
+
+
+class Wav2Vec2Model(nn.Module):
+    """Full base model: raw audio [B, T] → hidden states [B, frames, D]."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, audio: Array, tap_layer: Optional[int] = None) -> Array:
+        cfg = self.config
+        feats = FeatureEncoder(cfg, name="feature_extractor")(audio)
+        h = FeatureProjection(cfg, name="feature_projection")(feats)
+        return Wav2Vec2Encoder(cfg, name="encoder")(h, tap_layer=tap_layer)
+
+    def num_output_frames(self, n_samples: int) -> int:
+        t = n_samples
+        for k, s in zip(self.config.conv_kernel, self.config.conv_stride):
+            t = (t - k) // s + 1
+        return t
+
+
+# ---------------------------------------------------------------------------
+# HF torch → flax conversion
+# ---------------------------------------------------------------------------
+
+
+def _np(t) -> np.ndarray:
+    return t.detach().cpu().numpy()
+
+
+def convert_hf_wav2vec2(hf_model) -> Dict[str, Any]:
+    """Convert a torch ``Wav2Vec2Model`` (or ``.wav2vec2``/``.base_model`` of
+    a ForCTC head) into this module's flax params.
+
+    Weight-norm on the positional conv is folded into a plain kernel:
+    ``w = g * v / ||v||`` with the norm over (out, in) per kernel position
+    (torch ``weight_norm(dim=2)``)."""
+    if hasattr(hf_model, "wav2vec2"):
+        hf_model = hf_model.wav2vec2
+    sd = {k: _np(v) for k, v in hf_model.state_dict().items()}
+    n_convs = len([k for k in sd if k.startswith("feature_extractor.conv_layers")
+                   and k.endswith("conv.weight")])
+    p: Dict[str, Any] = {}
+
+    fe: Dict[str, Any] = {}
+    for i in range(n_convs):
+        base = f"feature_extractor.conv_layers.{i}"
+        # torch conv weight [out, in, k] → flax [k, in, out]
+        fe[f"conv_{i}"] = {
+            "kernel": np.transpose(sd[f"{base}.conv.weight"], (2, 1, 0)),
+        }
+        if f"{base}.conv.bias" in sd:
+            fe[f"conv_{i}"]["bias"] = sd[f"{base}.conv.bias"]
+        fe[f"layer_norm_{i}"] = {
+            "scale": sd[f"{base}.layer_norm.weight"],
+            "bias": sd[f"{base}.layer_norm.bias"],
+        }
+    p["feature_extractor"] = fe
+
+    p["feature_projection"] = {
+        "layer_norm": {
+            "scale": sd["feature_projection.layer_norm.weight"],
+            "bias": sd["feature_projection.layer_norm.bias"],
+        },
+        "projection": {
+            "kernel": sd["feature_projection.projection.weight"].T,
+            "bias": sd["feature_projection.projection.bias"],
+        },
+    }
+
+    enc: Dict[str, Any] = {}
+    # fold weight norm: v [out, in/g, k], g [1, 1, k] (parametrized) or plain
+    if "encoder.pos_conv_embed.conv.parametrizations.weight.original0" in sd:
+        g = sd["encoder.pos_conv_embed.conv.parametrizations.weight.original0"]
+        v = sd["encoder.pos_conv_embed.conv.parametrizations.weight.original1"]
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        w = g * v / norm
+    else:  # older transformers: weight_g / weight_v
+        g = sd["encoder.pos_conv_embed.conv.weight_g"]
+        v = sd["encoder.pos_conv_embed.conv.weight_v"]
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        w = g * v / norm
+    enc["pos_conv_embed"] = {
+        "conv": {
+            "kernel": np.transpose(w, (2, 1, 0)),
+            "bias": sd["encoder.pos_conv_embed.conv.bias"],
+        }
+    }
+    enc["layer_norm"] = {
+        "scale": sd["encoder.layer_norm.weight"],
+        "bias": sd["encoder.layer_norm.bias"],
+    }
+    n_layers = len({k.split(".")[2] for k in sd if k.startswith("encoder.layers.")})
+    for i in range(n_layers):
+        base = f"encoder.layers.{i}"
+        enc[f"layers_{i}"] = {
+            "layer_norm": {
+                "scale": sd[f"{base}.layer_norm.weight"],
+                "bias": sd[f"{base}.layer_norm.bias"],
+            },
+            "q_proj": {
+                "kernel": sd[f"{base}.attention.q_proj.weight"].T,
+                "bias": sd[f"{base}.attention.q_proj.bias"],
+            },
+            "k_proj": {
+                "kernel": sd[f"{base}.attention.k_proj.weight"].T,
+                "bias": sd[f"{base}.attention.k_proj.bias"],
+            },
+            "v_proj": {
+                "kernel": sd[f"{base}.attention.v_proj.weight"].T,
+                "bias": sd[f"{base}.attention.v_proj.bias"],
+            },
+            "out_proj": {
+                "kernel": sd[f"{base}.attention.out_proj.weight"].T,
+                "bias": sd[f"{base}.attention.out_proj.bias"],
+            },
+            "final_layer_norm": {
+                "scale": sd[f"{base}.final_layer_norm.weight"],
+                "bias": sd[f"{base}.final_layer_norm.bias"],
+            },
+            "intermediate_dense": {
+                "kernel": sd[f"{base}.feed_forward.intermediate_dense.weight"].T,
+                "bias": sd[f"{base}.feed_forward.intermediate_dense.bias"],
+            },
+            "output_dense": {
+                "kernel": sd[f"{base}.feed_forward.output_dense.weight"].T,
+                "bias": sd[f"{base}.feed_forward.output_dense.bias"],
+            },
+        }
+    p["encoder"] = enc
+    return {"params": p}

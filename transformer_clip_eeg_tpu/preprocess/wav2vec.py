@@ -1,0 +1,254 @@
+"""Offline wav2vec2 stimulus feature extraction (JAX).
+
+Behavioral parity with ref ``preprocess_audio/create_wav2vec.py``:
+
+* audio ingest: ``.wav`` (scipy WAV reader; the reference uses librosa, which
+  is absent here) or ``.npz`` with ``audio``/``fs`` entries, polyphase
+  resample to 16 kHz (ref ``:72-80``),
+* half-overlap zero-padding at the start (ref ``:88``),
+* chunking into ``segment_length``(+overlap) windows; the run config used
+  ``overlap=2, segment_length=8`` seconds (ref ``:146``),
+* per chunk: hidden states at the requested layers with
+  ``int(overlap/2)*50`` frames stripped from each side, keeping one extra
+  frame at the tail of non-final chunks — the reference's ``+1`` off-by-one
+  compensation (ref ``:115-119``) — then vstack,
+* main loop: glob ``stimuli/eeg/*.npz.gz``, skip ``noise_``/``t_`` files,
+  gunzip, extract, ``scipy.signal.resample`` 50 → 64 Hz, save
+  ``{story}_-_wav2vec_{layer}.npy``; idempotent (ref ``:128-158``).
+
+TPU-first: all equal-length chunks are stacked and run as **one batched
+forward** at a static shape (one XLA compile) instead of the reference's
+per-chunk batch-1 loop; the ragged final chunk runs separately at its natural
+length.  The encoder stops at the deepest requested tap layer.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import shutil
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import scipy.signal
+
+SR = 16000
+FRAMES_PER_S = 50  # wav2vec2 output rate at 16 kHz (stride 320)
+FINAL_RATE_HZ = 64  # ref create_wav2vec.py:19
+
+
+def load_audio(audio_path: str, sr: int = SR) -> np.ndarray:
+    """Load ``.wav`` or ``.npz`` audio and resample to ``sr``
+    (ref create_wav2vec.py:72-80)."""
+    if audio_path.endswith(".wav"):
+        from scipy.io import wavfile
+
+        sampling_rate, speech_array = wavfile.read(audio_path)
+        if speech_array.dtype.kind == "i":
+            speech_array = speech_array / float(np.iinfo(speech_array.dtype).max)
+        speech_array = np.asarray(speech_array, np.float32)
+        if speech_array.ndim == 2:
+            speech_array = speech_array.mean(axis=1)
+    else:
+        speech_data = dict(np.load(audio_path, allow_pickle=True))
+        speech_array = np.asarray(speech_data["audio"], np.float32).squeeze()
+        sampling_rate = int(speech_data["fs"])
+    if sampling_rate != sr:
+        speech_array = scipy.signal.resample_poly(
+            speech_array, sr, sampling_rate
+        ).astype(np.float32)
+    return speech_array
+
+
+class Wav2Vec2FeatureExtractor:
+    """Chunked hidden-state extraction with a jitted, batched forward."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        layers: Sequence[int] = (19,),
+        sr: int = SR,
+        frames_per_s: int = FRAMES_PER_S,
+    ):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.layers = sorted(layers)
+        self.sr = sr
+        self.frames_per_s = frames_per_s
+
+        @jax.jit
+        def forward(audio_batch):
+            # tap early-exit per requested layer; single-layer requests — the
+            # reference's run config — compile to exactly one partial stack
+            return {
+                layer: self.model.apply(
+                    self.variables, audio_batch, tap_layer=layer
+                )
+                for layer in self.layers
+            }
+
+        self._forward = forward
+
+    def get_hidden_output(
+        self,
+        audio: Union[str, np.ndarray],
+        overlap: int = 2,
+        segment_length: int = 8,
+    ) -> Dict[int, np.ndarray]:
+        """Ref create_wav2vec.py:68-123 (same chunk/strip math)."""
+        sr = self.sr
+        if isinstance(audio, str):
+            speech_array = load_audio(audio, sr=sr)
+        else:
+            speech_array = np.asarray(audio, np.float32).squeeze()
+        wav_length = speech_array.size
+
+        half = int(overlap / 2)
+        padded = np.concatenate(
+            [np.zeros(half * sr, np.float32), speech_array]
+        )
+
+        seg = segment_length * sr
+        chunk_len = seg + overlap * sr
+        n_chunks = int(wav_length / seg) + 1
+
+        # NOTE the reference's loop has no break (ref :94-109): once the tail
+        # condition triggers, every remaining iteration appends a further
+        # (shorter, partially duplicated) tail chunk.  Replicated exactly —
+        # it executes for stories whose length mod segment falls in the
+        # overlap window, and feature-length parity depends on it.
+        full_chunks: List[np.ndarray] = []
+        tail_chunks: List[np.ndarray] = []
+        for i in range(n_chunks):
+            start = i * seg
+            end = start + chunk_len
+            if not tail_chunks and end < padded.size:
+                full_chunks.append(padded[start:end])
+            else:
+                tail_chunks.append(padded[start:])
+
+        outputs: Dict[int, List[np.ndarray]] = {l: [] for l in self.layers}
+        strip = half * self.frames_per_s
+
+        if full_chunks:
+            batch = np.stack(full_chunks)
+            outs = self._forward(batch)
+            for layer in self.layers:
+                arr = np.asarray(outs[layer])
+                for j in range(arr.shape[0]):
+                    out = arr[j]
+                    # non-final: strip both sides, +1 tail quirk (ref :119)
+                    outputs[layer].append(out[strip : out.shape[0] - strip + 1])
+
+        for tail in tail_chunks:
+            if tail.size == 0:
+                continue
+            outs = self._forward(tail[None, :])
+            for layer in self.layers:
+                out = np.asarray(outs[layer])[0]
+                outputs[layer].append(out[strip:])
+
+        return {l: np.vstack(v) for l, v in outputs.items()}
+
+
+def extract_stimulus_features(
+    extractor: Wav2Vec2FeatureExtractor,
+    stimuli_dir: str,
+    save_dir: str,
+    overlap: int = 2,
+    segment_length: int = 8,
+    final_rate_hz: int = FINAL_RATE_HZ,
+) -> List[str]:
+    """The reference's main loop (ref create_wav2vec.py:128-158): process every
+    ``*.npz.gz`` stimulus, save per-layer ``{story}_-_wav2vec_{layer}.npy``
+    resampled 50 → ``final_rate_hz`` Hz.  Idempotent.  Returns saved paths."""
+    os.makedirs(save_dir, exist_ok=True)
+    audio_paths = sorted(
+        glob.glob(os.path.join(stimuli_dir, "*.npz.gz")), reverse=True
+    )
+    audio_paths = [
+        x
+        for x in audio_paths
+        if not (
+            os.path.basename(x).startswith("noise_")
+            or os.path.basename(x).startswith("t_")
+        )
+    ]
+    print(f"Found {len(audio_paths)} audio files.")
+    saved: List[str] = []
+    first_layer = extractor.layers[0]
+    for path in audio_paths:
+        story = os.path.basename(path).split(".")[0]
+        print("Processing", story)
+        unzipped_name = path.rsplit(".gz", 1)[0]
+        if not os.path.exists(unzipped_name):
+            with gzip.open(path, "rb") as f_in, open(unzipped_name, "wb") as f_out:
+                shutil.copyfileobj(f_in, f_out)
+        marker = os.path.join(save_dir, f"{story}_-_wav2vec_{first_layer}.npy")
+        if os.path.exists(marker):
+            continue
+        features = extractor.get_hidden_output(
+            unzipped_name, overlap=overlap, segment_length=segment_length
+        )
+        for layer, value in features.items():
+            number_of_samples = round(
+                value.shape[0] * float(final_rate_hz) / extractor.frames_per_s
+            )
+            value = scipy.signal.resample(value, number_of_samples)
+            save_name = os.path.join(save_dir, f"{story}_-_wav2vec_{layer}.npy")
+            np.save(save_name, value)
+            saved.append(save_name)
+            print(f"Saved to '{save_name}'.")
+    return saved
+
+
+def main(argv=None) -> int:
+    """CLI: extract wav2vec features for a SparrKULee download tree.
+
+    Weights must come from a local HF torch checkpoint directory (zero-egress
+    environments cannot pull ``jonatasgrosman/wav2vec2-large-xlsr-53-dutch``
+    from the hub; ref create_wav2vec.py:14,22-23)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset_root", type=str, required=True)
+    p.add_argument("--model_path", type=str, required=True,
+                   help="local HF wav2vec2 checkpoint dir")
+    p.add_argument("--layers", type=int, nargs="+", default=[19])
+    p.add_argument("--overlap", type=int, default=2)
+    p.add_argument("--segment_length", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from transformers import Wav2Vec2ForCTC
+
+    from transformer_clip_eeg_tpu.models.wav2vec2 import (
+        Wav2Vec2Config,
+        Wav2Vec2Model,
+        convert_hf_wav2vec2,
+    )
+
+    hf_model = Wav2Vec2ForCTC.from_pretrained(args.model_path)
+    config = Wav2Vec2Config.from_hf(hf_model.config)
+    model = Wav2Vec2Model(config)
+    variables = convert_hf_wav2vec2(hf_model)
+    extractor = Wav2Vec2FeatureExtractor(model, variables, args.layers)
+
+    stimuli_dir = os.path.join(args.dataset_root, "stimuli", "eeg")
+    save_dir = os.path.join(
+        args.dataset_root, "derivatives", "preprocessed_stimuli"
+    )
+    extract_stimulus_features(
+        extractor, stimuli_dir, save_dir,
+        overlap=args.overlap, segment_length=args.segment_length,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

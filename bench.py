@@ -31,7 +31,7 @@ DEPTH = 10
 TIMED_STEPS = 20
 
 
-def measure_ours() -> float:
+def measure_ours(compute_dtype=None) -> float:
     import jax
 
     sys.path.insert(0, REPO)
@@ -61,7 +61,9 @@ def measure_ours() -> float:
         (batch["eeg"], batch["speech"], batch["ids"]),
         tx,
     )
-    step = make_train_step("clip_sim_no_latent_proj")
+    step = make_train_step(
+        "clip_sim_no_latent_proj", compute_dtype=compute_dtype
+    )
     key = jax.random.PRNGKey(1)
     batch = jax.device_put(batch)
 

@@ -100,8 +100,11 @@ def kld(p_mu: Array, p_logvar: Array, q_mu: Array, q_logvar: Array) -> Array:
 
 
 def flatten_features(x: Array) -> Array:
-    """Flatten ``[B, ...]`` to ``[B, -1]`` (torch ``flatten(start_dim=1)``)."""
-    return x.reshape(x.shape[0], -1)
+    """Flatten ``[B, ...]`` to ``[B, -1]`` (torch ``flatten(start_dim=1)``).
+
+    Also the mixed-precision boundary: encoders may run in bfloat16, but
+    embeddings are normalized and contrasted in float32."""
+    return x.reshape(x.shape[0], -1).astype(jnp.float32)
 
 
 def flatten_maybe_transposed(x: Array) -> Array:

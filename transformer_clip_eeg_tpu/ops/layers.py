@@ -223,9 +223,10 @@ class LayerNorm(nn.Module):
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,))
         bias = self.param("bias", nn.initializers.zeros, (dim,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * lax.rsqrt(var + self.epsilon)
+        xf = x.astype(jnp.float32)  # stats in f32 for low-precision inputs
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = ((xf - mean) * lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
@@ -250,9 +251,10 @@ class LayerNormTC(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.time_dim, self.channel_dim)
         )
-        mean = jnp.mean(x, axis=(-2, -1), keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=(-2, -1), keepdims=True)
-        y = (x - mean) * lax.rsqrt(var + self.epsilon)
+        xf = x.astype(jnp.float32)  # stats in f32 for low-precision inputs
+        mean = jnp.mean(xf, axis=(-2, -1), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(-2, -1), keepdims=True)
+        y = ((xf - mean) * lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
@@ -284,8 +286,9 @@ class BatchNorm1d(nn.Module):
         else:
             reduce_axes = tuple(range(x.ndim - 1))  # all but channel
             n = x.size // c
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)  # biased
+            xf = x.astype(jnp.float32)  # stats in f32 for low-precision inputs
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)  # biased
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = (
@@ -294,7 +297,9 @@ class BatchNorm1d(nn.Module):
                 ra_var.value = (
                     (1 - self.momentum) * ra_var.value + self.momentum * unbiased
                 )
-        y = (x - mean) * lax.rsqrt(var + self.epsilon)
+        y = ((x.astype(jnp.float32) - mean) * lax.rsqrt(var + self.epsilon)).astype(
+            x.dtype
+        )
         return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 

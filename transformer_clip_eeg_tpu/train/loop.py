@@ -197,6 +197,9 @@ class Trainer:
             cfg.augmentations,
             cfg.data_augmentation_percentage,
             cfg.addEEG_b,
+            compute_dtype=(
+                cfg.compute_dtype if cfg.compute_dtype != "float32" else None
+            ),
         )
         self.eval_step = make_eval_step(cfg.model_arch)
 

@@ -83,17 +83,24 @@ def make_train_step(
     donate: bool = True,
     in_shardings=None,
     out_shardings=None,
+    compute_dtype=None,
 ) -> Callable:
     """Build the jitted train step.
 
     Returns ``step(state, batch, rng, warmup) -> (state, metrics)`` where
     ``batch = {'eeg', 'speech', 'ids'[, 'partner_eeg']}``.
+
+    ``compute_dtype='bfloat16'`` runs the encoders in bf16 (params stay f32,
+    layers follow the activation dtype); norms keep f32 statistics and the
+    flattened embeddings are cast back to f32 before the InfoNCE, so the loss
+    math is always full precision.
     """
     aug_fn = (
         make_augmentation_fn(augmentations, augmentation_probability)
         if augmentations
         else None
     )
+    cast = jnp.dtype(compute_dtype) if compute_dtype else None
 
     def train_step(
         state: TrainState, batch: Dict[str, Array], rng: Array, warmup: bool
@@ -107,14 +114,19 @@ def make_train_step(
             )
         if aug_fn is not None:
             eeg = aug_fn(k_aug, eeg)
+        speech = batch["speech"]
+        if cast is not None:
+            eeg = eeg.astype(cast)
+            speech = speech.astype(cast)
+        batch_c = dict(batch, eeg=eeg, speech=speech)
 
         def loss_fn(params):
             variables = dict(state.variables)
             variables["params"] = params
             outs, mutated = state.apply_fn(
                 variables,
-                eeg,
-                batch["speech"],
+                batch_c["eeg"],
+                batch_c["speech"],
                 batch["ids"],
                 deterministic=False,
                 mutable=["membank", "batch_stats"],

@@ -61,21 +61,37 @@ def measure_ours(compute_dtype=None) -> float:
         (batch["eeg"], batch["speech"], batch["ids"]),
         tx,
     )
+    import jax.numpy as jnp
+
     step = make_train_step(
-        "clip_sim_no_latent_proj", compute_dtype=compute_dtype
+        "clip_sim_no_latent_proj", compute_dtype=compute_dtype, donate=False
     )
     key = jax.random.PRNGKey(1)
     batch = jax.device_put(batch)
 
-    # warmup / compile
-    for _ in range(3):
-        state, losses = step(state, batch, key, warmup=False)
-    jax.block_until_ready(losses)
+    # Methodology: N steps chained inside ONE jitted scan, with the input
+    # perturbed per step, and a scalar fetched at the end.  On the tunneled
+    # TPU backend, python-loop timing with block_until_ready over-reports
+    # badly (repeated identical dispatches get deduplicated); in-jit
+    # chaining is immune.
+    @jax.jit
+    def run_n(state, batch, key):
+        def body(carry, i):
+            state = carry
+            k = jax.random.fold_in(key, i)
+            noise = jax.random.normal(k, (1, 1, 1)) * 1e-6
+            b = dict(batch, eeg=batch["eeg"] + noise)
+            state, losses = step(state, b, k, warmup=False)
+            return state, losses["loss_ce"]
 
+        state, losses = jax.lax.scan(body, state, jnp.arange(TIMED_STEPS))
+        return state, losses[-1]
+
+    state, loss = run_n(state, batch, key)  # compile + warmup
+    float(loss)
     t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS):
-        state, losses = step(state, batch, key, warmup=False)
-    jax.block_until_ready(losses)
+    state, loss = run_n(state, batch, jax.random.PRNGKey(2))
+    float(loss)
     dt = time.perf_counter() - t0
     return BATCH * TIMED_STEPS / dt
 

@@ -86,11 +86,12 @@ class FeatureEncoder(nn.Module):
     """Strided conv stack, layer-norm variant (feat_extract_norm='layer')."""
 
     config: Wav2Vec2Config
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         # x: [B, T] raw audio → [B, frames, C]
-        h = x[:, :, None]
+        h = x.astype(self.dtype)[:, :, None]
         cfg = self.config
         for i, (dim, k, s) in enumerate(
             zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
@@ -101,26 +102,37 @@ class FeatureEncoder(nn.Module):
                 strides=(s,),
                 padding="VALID",
                 use_bias=cfg.conv_bias,
+                dtype=self.dtype,
                 name=f"conv_{i}",
             )(h)
-            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=f"layer_norm_{i}")(h)
+            h = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                name=f"layer_norm_{i}",
+            )(h)
             h = _gelu(h)
         return h
 
 
 class FeatureProjection(nn.Module):
     config: Wav2Vec2Config
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.LayerNorm(epsilon=self.config.layer_norm_eps, name="layer_norm")(x)
-        return nn.Dense(self.config.hidden_size, name="projection")(x)
+        x = nn.LayerNorm(
+            epsilon=self.config.layer_norm_eps, dtype=self.dtype,
+            name="layer_norm",
+        )(x)
+        return nn.Dense(
+            self.config.hidden_size, dtype=self.dtype, name="projection"
+        )(x)
 
 
 class PositionalConvEmbedding(nn.Module):
     """Grouped conv positional embedding (weight-norm folded at load)."""
 
     config: Wav2Vec2Config
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -133,6 +145,7 @@ class PositionalConvEmbedding(nn.Module):
             (k,),
             padding=[(k // 2, k // 2)],
             feature_group_count=cfg.num_conv_pos_embedding_groups,
+            dtype=self.dtype,
             name="conv",
         )(x)
         if k % 2 == 0:
@@ -144,18 +157,20 @@ class EncoderLayerStableLayerNorm(nn.Module):
     """Pre-LN transformer layer (do_stable_layer_norm=True)."""
 
     config: Wav2Vec2Config
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         cfg = self.config
+        dt = self.dtype
         d, n_heads = cfg.hidden_size, cfg.num_attention_heads
         head_dim = d // n_heads
 
         residual = x
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
-        q = nn.Dense(d, name="q_proj")(h) * (head_dim ** -0.5)
-        k = nn.Dense(d, name="k_proj")(h)
-        v = nn.Dense(d, name="v_proj")(h)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dt, name="layer_norm")(x)
+        q = nn.Dense(d, dtype=dt, name="q_proj")(h) * (head_dim ** -0.5)
+        k = nn.Dense(d, dtype=dt, name="k_proj")(h)
+        v = nn.Dense(d, dtype=dt, name="v_proj")(h)
         b, t = h.shape[0], h.shape[1]
         q = q.reshape(b, t, n_heads, head_dim)
         k = k.reshape(b, t, n_heads, head_dim)
@@ -165,14 +180,16 @@ class EncoderLayerStableLayerNorm(nn.Module):
         )
         attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
-        h = nn.Dense(d, name="out_proj")(ctx)
+        h = nn.Dense(d, dtype=dt, name="out_proj")(ctx)
         x = residual + h
 
         residual = x
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")(x)
-        h = nn.Dense(cfg.intermediate_size, name="intermediate_dense")(h)
+        h = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=dt, name="final_layer_norm"
+        )(x)
+        h = nn.Dense(cfg.intermediate_size, dtype=dt, name="intermediate_dense")(h)
         h = _gelu(h)
-        h = nn.Dense(d, name="output_dense")(h)
+        h = nn.Dense(d, dtype=dt, name="output_dense")(h)
         return residual + h
 
 
@@ -184,19 +201,26 @@ class Wav2Vec2Encoder(nn.Module):
     final, post-``encoder.layer_norm`` output)."""
 
     config: Wav2Vec2Config
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, tap_layer: Optional[int] = None) -> Array:
         cfg = self.config
         n = cfg.num_hidden_layers
         tap = n if tap_layer is None else tap_layer
-        x = x + PositionalConvEmbedding(cfg, name="pos_conv_embed")(x)
+        x = x + PositionalConvEmbedding(
+            cfg, dtype=self.dtype, name="pos_conv_embed"
+        )(x)
         if tap == 0:
             return x
         for i in range(min(tap, n)):
-            x = EncoderLayerStableLayerNorm(cfg, name=f"layers_{i}")(x)
+            x = EncoderLayerStableLayerNorm(
+                cfg, dtype=self.dtype, name=f"layers_{i}"
+            )(x)
         if tap >= n:
-            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
+            x = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm"
+            )(x)
         return x
 
 
@@ -204,13 +228,21 @@ class Wav2Vec2Model(nn.Module):
     """Full base model: raw audio [B, T] → hidden states [B, frames, D]."""
 
     config: Wav2Vec2Config
+    dtype: Any = jnp.float32  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, audio: Array, tap_layer: Optional[int] = None) -> Array:
         cfg = self.config
-        feats = FeatureEncoder(cfg, name="feature_extractor")(audio)
-        h = FeatureProjection(cfg, name="feature_projection")(feats)
-        return Wav2Vec2Encoder(cfg, name="encoder")(h, tap_layer=tap_layer)
+        feats = FeatureEncoder(cfg, dtype=self.dtype, name="feature_extractor")(
+            audio
+        )
+        h = FeatureProjection(cfg, dtype=self.dtype, name="feature_projection")(
+            feats
+        )
+        out = Wav2Vec2Encoder(cfg, dtype=self.dtype, name="encoder")(
+            h, tap_layer=tap_layer
+        )
+        return out.astype(jnp.float32)
 
     def num_output_frames(self, n_samples: int) -> int:
         t = n_samples

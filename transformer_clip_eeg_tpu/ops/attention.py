@@ -17,6 +17,7 @@ backends when shapes allow, with this XLA path as the reference/fallback.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -28,9 +29,81 @@ from transformer_clip_eeg_tpu.ops.layers import (
     Dropout,
     LayerNorm,
     gelu_exact,
+    torch_uniform_init,
 )
 
 Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Parameter holders — declare exactly the param tree the XLA path creates
+# (same names, shapes, inits) without running any compute, so the fused
+# Pallas path shares checkpoints / torch imports with the XLA path.
+# ---------------------------------------------------------------------------
+
+
+class _DenseP(nn.Module):
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            torch_uniform_init(self.in_features),
+            (self.in_features, self.features),
+        )
+        b = self.param(
+            "bias", torch_uniform_init(self.in_features), (self.features,)
+        )
+        return k, b
+
+
+class _LayerNormP(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _MHAP(nn.Module):
+    emb_size: int
+
+    @nn.compact
+    def __call__(self):
+        e = self.emb_size
+        return (
+            _DenseP(e, e, name="queries")(),
+            _DenseP(e, e, name="keys")(),
+            _DenseP(e, e, name="values")(),
+            _DenseP(e, e, name="projection")(),
+        )
+
+
+class _FFNP(nn.Module):
+    emb_size: int
+    expansion: int
+
+    @nn.compact
+    def __call__(self):
+        e = self.emb_size
+        return (
+            _DenseP(e, self.expansion * e, name="fc1")(),
+            _DenseP(self.expansion * e, e, name="fc2")(),
+        )
+
+
+def _pallas_default() -> bool:
+    if os.environ.get("TCE_DISABLE_PALLAS", "") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
 
 
 class MultiHeadAttention(nn.Module):
@@ -77,16 +150,32 @@ class FeedForwardBlock(nn.Module):
 
 
 class TransformerEncoderBlock(nn.Module):
-    """Pre-LN residual block (ref clip_model.py:75-94)."""
+    """Pre-LN residual block (ref clip_model.py:75-94).
+
+    On TPU the whole block runs as one fused Pallas program
+    (``ops/pallas_block.py``): both LayerNorms, QKV, per-head attention,
+    projection, FFN, residuals and all four dropouts in VMEM, with a
+    hand-derived fused backward.  ``use_pallas=None`` auto-enables on TPU
+    backends (set env ``TCE_DISABLE_PALLAS=1`` to force the XLA path);
+    ``True`` forces it (interpret-mode off-TPU — for tests).  Both paths
+    declare the identical parameter tree.
+    """
 
     emb_size: int
     num_heads: int = 8
     drop_p: float = 0.5
     forward_expansion: int = 4
     forward_drop_p: float = 0.5
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        enabled = (
+            _pallas_default() if self.use_pallas is None else self.use_pallas
+        )
+        b, t, e = x.shape
+        if enabled and e % self.num_heads == 0:
+            return self._pallas_path(x, deterministic)
         y = LayerNorm(name="ln1")(x)
         y = MultiHeadAttention(
             self.emb_size, self.num_heads, self.drop_p, name="attn"
@@ -99,6 +188,40 @@ class TransformerEncoderBlock(nn.Module):
         )(y, deterministic)
         y = Dropout(self.drop_p, name="drop2")(y, deterministic)
         return x + y
+
+    def _pallas_path(self, x: Array, deterministic: bool) -> Array:
+        from transformer_clip_eeg_tpu.ops.pallas_block import (
+            fused_transformer_block,
+        )
+
+        e = self.emb_size
+        g1, be1 = _LayerNormP(e, name="ln1")()
+        (qk, qb), (kk, kb), (vk, vb), (ok, ob) = _MHAP(e, name="attn")()
+        g2, be2 = _LayerNormP(e, name="ln2")()
+        (w1, bb1), (w2, bb2) = _FFNP(e, self.forward_expansion, name="ffn")()
+        params = (g1, be1, qk, kk, vk, qb, kb, vb, ok, ob,
+                  g2, be2, w1, bb1, w2, bb2)
+        training = (not deterministic) and (
+            self.drop_p > 0.0 or self.forward_drop_p > 0.0
+        )
+        if training:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, 2 ** 31 - 1
+            ).astype(jnp.float32)
+        else:
+            seed = jnp.zeros((), jnp.float32)
+        interpret = jax.default_backend() != "tpu"
+        return fused_transformer_block(
+            x,
+            params,
+            seed,
+            self.drop_p,
+            self.forward_drop_p,
+            self.num_heads,
+            self.emb_size ** 0.5,  # the reference's full-emb scaling quirk
+            training,
+            interpret,
+        )
 
 
 class TransformerEncoder(nn.Module):

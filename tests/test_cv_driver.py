@@ -1,0 +1,41 @@
+"""CV driver smoke test: one tiny fold end-to-end, summary written."""
+
+import json
+import os
+import subprocess
+import sys
+
+from transformer_clip_eeg_tpu.data.fixtures import make_fixture
+
+
+def test_cv_driver_single_fold(tmp_path):
+    root = str(tmp_path / "data")
+    make_fixture(root, n_stories=3, n_subjects=2, story_seconds=45, speech_dim=8)
+    results = str(tmp_path / "results")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import transformer_clip_eeg_tpu.eval.regression as reg;"
+        "_orig=reg.train_regression_probe;"
+        "reg.train_regression_probe="
+        "lambda *a,**k: _orig(*a,**{**k,'epochs':2});"
+        "from transformer_clip_eeg_tpu.cv import main;"
+        "import sys; sys.exit(main(["
+        "'--folds','0',"
+        "'--data_dir', r'%s', '--results_folder', r'%s',"
+        "'--epochs','1','--batch_size','4',"
+        "'--attention_depth','1','--latent_dim','4','--lstm_units','8',"
+        "'--speech_dim_override','8','--number_of_training_subjects','2'"
+        "]))"
+    ) % (root, results)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary_path = os.path.join(results, "cv_summary.json")
+    assert os.path.exists(summary_path)
+    with open(summary_path) as f:
+        summary = json.load(f)
+    assert "0" in summary["folds"]
+    assert "mm_accuracy_mean" in summary["folds"]["0"]

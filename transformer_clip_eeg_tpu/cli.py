@@ -120,6 +120,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="0 = single device; N = N-way data-parallel mesh")
     p.add_argument("--speech_dim_override", type=int, default=None)
     p.add_argument("--skip_eval", type=str, default="no", choices=["yes", "no"])
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of the first epoch here")
     return p
 
 
@@ -213,7 +215,10 @@ def main(argv=None) -> int:
 
         mesh = make_mesh(n_data=args.n_data_shards)
 
-    trainer = Trainer(cfg, train_ds, val_ds, results_dir=results_dir, mesh=mesh)
+    trainer = Trainer(
+        cfg, train_ds, val_ds, results_dir=results_dir, mesh=mesh,
+        profile_dir=args.profile_dir or None,
+    )
 
     if args.only_evaluate == "yes":
         restored = ckpt_lib.restore_checkpoint(

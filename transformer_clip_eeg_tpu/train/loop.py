@@ -128,7 +128,11 @@ class Trainer:
         val_dataset: Optional[EEGWindowDataset] = None,
         results_dir: Optional[str] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
+        profile_dir: Optional[str] = None,
     ):
+        # optional jax.profiler trace of the first training epoch
+        # (SURVEY §5.1: the reference has no tracing at all)
+        self.profile_dir = profile_dir
         self.cfg = config
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
@@ -261,6 +265,8 @@ class Trainer:
                 break
 
             warmup = epoch < cfg.warmup_epochs
+            if self.profile_dir and epoch == 0:
+                jax.profiler.start_trace(self.profile_dir)
             t0 = time.time()
             n_batches = 0
             n_pairs = 0
@@ -288,6 +294,10 @@ class Trainer:
                 n_pairs += batch["eeg"].shape[0]
             jax.block_until_ready(self.state.params)
             epoch_time = time.time() - t0
+            if self.profile_dir and epoch == 0:
+                jax.profiler.stop_trace()
+                printf(f"profiler trace written to {self.profile_dir}",
+                       self.loss_file)
 
             # scheduler (ref :502-504); plateau consumes last val loss
             if cfg.lr_scheduler != "no":

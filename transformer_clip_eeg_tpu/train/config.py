@@ -88,6 +88,11 @@ class TrainConfig:
     mesh_shape: Optional[List[int]] = None  # e.g. [8] for 8-way data parallel
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
     speech_dim_override: Optional[int] = None  # test fixtures with small dims
+    # batch assembly: 'host' gathers on host per batch (reference-style),
+    # 'device' keeps story chunks device-resident and gathers inside the
+    # jitted step (~8x less host->device traffic), 'auto' = device on a
+    # single TPU, host otherwise
+    data_mode: str = "auto"
 
     # -- derived ------------------------------------------------------------
 

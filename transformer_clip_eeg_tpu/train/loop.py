@@ -196,16 +196,41 @@ class Trainer:
         self.scheduler = make_scheduler(
             cfg.lr_scheduler, cfg.learning_rate, cfg.step_size_scheduler
         )
+        compute_dtype = (
+            cfg.compute_dtype if cfg.compute_dtype != "float32" else None
+        )
         self.train_step = make_train_step(
             cfg.model_arch,
             cfg.augmentations,
             cfg.data_augmentation_percentage,
             cfg.addEEG_b,
-            compute_dtype=(
-                cfg.compute_dtype if cfg.compute_dtype != "float32" else None
-            ),
+            compute_dtype=compute_dtype,
         )
         self.eval_step = make_eval_step(cfg.model_arch)
+
+        # device-resident chunk path (train/device_data.py)
+        if cfg.data_mode == "device":
+            self.device_data = True
+        elif cfg.data_mode == "host":
+            self.device_data = False
+        else:  # auto
+            self.device_data = mesh is None and jax.default_backend() == "tpu"
+        if self.device_data:
+            from transformer_clip_eeg_tpu.train.device_data import (
+                DeviceChunkStore,
+            )
+            from transformer_clip_eeg_tpu.train.steps import (
+                make_chunk_train_step,
+            )
+
+            self.chunk_store = DeviceChunkStore(train_dataset)
+            self.chunk_step = make_chunk_train_step(
+                cfg.model_arch,
+                cfg.augmentations,
+                cfg.data_augmentation_percentage,
+                cfg.addEEG_b,
+                compute_dtype=compute_dtype,
+            )
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -236,6 +261,29 @@ class Trainer:
         it = batch_iterator(dataset, add_eeg)
         return prefetch_to_device(it, sharding=self.batch_sharding)
 
+    def _train_batches(self, warmup: bool):
+        """One training epoch: yields ``(new_state, losses, batch_size)``
+        using whichever batch path is active."""
+        cfg = self.cfg
+        rng = self._train_rng
+        if self.device_data:
+            for (eeg_c, sp_c, ids_c, idx, subs, partner) in (
+                self.chunk_store.epoch_batches(add_eeg=cfg.addEEG_b)
+            ):
+                state, losses = self.chunk_step(
+                    self.state, eeg_c, sp_c, ids_c, idx, subs, partner,
+                    rng, warmup=warmup,
+                )
+                self.state = state
+                yield state, losses, idx.shape[0]
+        else:
+            for batch in self._device_batches(self.train_dataset, cfg.addEEG_b):
+                state, losses = self.train_step(
+                    self.state, batch, rng, warmup=warmup
+                )
+                self.state = state
+                yield state, losses, batch["eeg"].shape[0]
+
     def fit(self) -> Dict[str, Any]:
         cfg = self.cfg
         # auto-resume (ref train_clip_final.py:443-449)
@@ -251,7 +299,7 @@ class Trainer:
                 self.loss_file,
             )
 
-        rng = jax.random.PRNGKey(cfg.seed + 1)
+        self._train_rng = jax.random.PRNGKey(cfg.seed + 1)
         best_loss = float("inf")
         best_epoch = 0
         best_state = self.state
@@ -270,10 +318,8 @@ class Trainer:
             t0 = time.time()
             n_batches = 0
             n_pairs = 0
-            for batch in self._device_batches(self.train_dataset, cfg.addEEG_b):
-                self.state, losses = self.train_step(
-                    self.state, batch, rng, warmup=warmup
-                )
+            for item in self._train_batches(warmup):
+                self.state, losses, bs = item
                 if n_batches % 100 == 0:
                     if cfg.is_kld:
                         printf(
@@ -291,7 +337,7 @@ class Trainer:
                             self.loss_file,
                         )
                 n_batches += 1
-                n_pairs += batch["eeg"].shape[0]
+                n_pairs += bs
             jax.block_until_ready(self.state.params)
             epoch_time = time.time() - t0
             if self.profile_dir and epoch == 0:

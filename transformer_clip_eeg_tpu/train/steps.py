@@ -153,6 +153,50 @@ def make_train_step(
     )
 
 
+def make_chunk_train_step(
+    model_arch: str,
+    augmentations: Sequence[str] = (),
+    augmentation_probability: float = 0.5,
+    add_eeg: bool = False,
+    donate: bool = True,
+    compute_dtype=None,
+) -> Callable:
+    """Train step over a device-resident story chunk (see
+    ``train/device_data.py``): the batch row-gather happens inside the jit,
+    so only tiny index vectors cross the host→device boundary per step.
+
+    Returns ``step(state, eeg_chunk, speech_chunk, ids_chunk, idx, subs,
+    partner, rng, warmup) -> (state, metrics)`` (``partner`` = host-sampled
+    mixup partner subjects; pass ``idx`` again when mixup is off).
+    """
+    from transformer_clip_eeg_tpu.train.device_data import gather_batch
+
+    base = make_train_step(
+        model_arch,
+        augmentations,
+        augmentation_probability,
+        add_eeg,
+        donate=False,
+        compute_dtype=compute_dtype,
+    )
+
+    def chunk_step(
+        state, eeg_chunk, speech_chunk, ids_chunk, idx, subs, partner,
+        rng, warmup: bool,
+    ):
+        batch = gather_batch(
+            eeg_chunk, speech_chunk, ids_chunk, idx, subs,
+            add_eeg=add_eeg, partner=partner,
+        )
+        return base(state, batch, rng, warmup=warmup)
+
+    return jax.jit(
+        chunk_step,
+        static_argnames=("warmup",),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def make_eval_step(
     model_arch: str,
     update_membank: bool = True,

@@ -21,6 +21,7 @@ Bidirectional layers hold a second set with suffix ``_reverse``.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -31,6 +32,15 @@ from jax import lax
 from transformer_clip_eeg_tpu.ops.layers import torch_uniform_init
 
 Array = jax.Array
+
+
+def _pallas_lstm_default() -> bool:
+    if os.environ.get("TCE_DISABLE_PALLAS", "") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
 
 
 def _lstm_scan(
@@ -67,12 +77,16 @@ class LSTM(nn.Module):
 
     hidden_size: int
     bidirectional: bool = False
+    use_pallas: Optional[bool] = None  # None = auto (TPU backend)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_features = x.shape[-1]
         h = self.hidden_size
         init = torch_uniform_init(h)  # torch: U(-1/sqrt(H), 1/sqrt(H)) everywhere
+        enabled = (
+            _pallas_lstm_default() if self.use_pallas is None else self.use_pallas
+        )
 
         def direction(suffix: str, xs: Array) -> Array:
             kernel_ih = self.param(f"kernel_ih{suffix}", init, (in_features, 4 * h))
@@ -85,7 +99,17 @@ class LSTM(nn.Module):
                 + (bias_ih + bias_hh).astype(xs.dtype)
             )
             xw = jnp.transpose(xw, (1, 0, 2))  # [T, B, 4H]
-            hs = _lstm_scan(xw, kernel_hh.astype(xs.dtype), h)
+            if enabled:
+                from transformer_clip_eeg_tpu.ops.pallas_lstm import (
+                    lstm_scan_pallas,
+                )
+
+                hs = lstm_scan_pallas(
+                    xw, kernel_hh.astype(xs.dtype), h,
+                    jax.default_backend() != "tpu",
+                )
+            else:
+                hs = _lstm_scan(xw, kernel_hh.astype(xs.dtype), h)
             return jnp.transpose(hs, (1, 0, 2))  # [B, T, H]
 
         out = direction("", x)

@@ -1,0 +1,237 @@
+"""LSTM recurrence as Pallas TPU kernels (fwd + hand-derived BPTT bwd).
+
+The reference's default speech encoder runs two biLSTMs over 192 steps
+(ref ``clip_model.py:267-268,322-324``).  Under XLA the recurrence lowers to
+a ``lax.scan`` whose per-step overhead dominates — each step is one tiny
+``[B, H] @ [H, 4H]`` matmul.  Here the whole recurrence runs inside Pallas:
+the grid walks time chunks sequentially, the hidden/cell state lives in VMEM
+scratch that persists across grid iterations, and each step is one MXU
+matmul plus VPU gate math — no per-step dispatch, no HBM round-trips for
+state.
+
+The input projection ``x @ W_ih + b`` stays outside (one big MXU matmul over
+all timesteps, see ``ops/lstm.py``); the kernel consumes the precomputed
+gate inputs ``xw [T, B, 4H]``.
+
+Backward is textbook BPTT, also time-chunked in reverse: gate activations
+are recomputed from (xw, h_prev) — only ``h`` and ``c`` sequences (the
+forward outputs) are saved — with ``dWhh`` accumulated across the
+sequential grid.  Gradient parity vs ``jax.vjp`` of the lax.scan path is
+verified in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+CHUNK = 8  # timesteps per grid program
+
+
+def _gates(pre, h):
+    i = jax.nn.sigmoid(pre[:, :h])
+    f = jax.nn.sigmoid(pre[:, h: 2 * h])
+    g = jnp.tanh(pre[:, 2 * h: 3 * h])
+    o = jax.nn.sigmoid(pre[:, 3 * h:])
+    return i, f, g, o
+
+
+def _fwd_kernel(xw_ref, whh_ref, h_out_ref, c_out_ref, h_scr, c_scr, *,
+                hidden):
+    gi = pl.program_id(0)
+
+    @pl.when(gi == 0)
+    def _init():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    whh = whh_ref[...]
+
+    def step(t, _):
+        pre = xw_ref[t] + jnp.dot(
+            h_scr[...], whh, preferred_element_type=jnp.float32
+        )
+        i, f, g, o = _gates(pre, hidden)
+        c = f * c_scr[...] + i * g
+        h = o * jnp.tanh(c)
+        h_scr[...] = h
+        c_scr[...] = c
+        h_out_ref[t] = h
+        c_out_ref[t] = c
+        return 0
+
+    lax.fori_loop(0, xw_ref.shape[0], step, 0)
+
+
+def _bwd_kernel(
+    xw_ref, whh_ref, h_ref, c_ref, h_prev_ref, c_prev_ref, g_ref,
+    dxw_ref, dwhh_ref, dh_scr, dc_scr, *, hidden,
+):
+    gi = pl.program_id(0)
+
+    @pl.when(gi == 0)
+    def _init():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+        dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
+
+    whh = whh_ref[...]
+    ch = xw_ref.shape[0]
+
+    def step(j, _):
+        t = ch - 1 - j  # reverse within the chunk
+        h_prev = h_prev_ref[t]
+        c_prev = c_prev_ref[t]
+        pre = xw_ref[t] + jnp.dot(
+            h_prev, whh, preferred_element_type=jnp.float32
+        )
+        i, f, g, o = _gates(pre, hidden)
+        c = c_ref[t]
+        tanh_c = jnp.tanh(c)
+        dh = g_ref[t] + dh_scr[...]
+        do = dh * tanh_c
+        dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_scr[...]
+        di = dc * g
+        dg = dc * i
+        df = dc * c_prev
+        dc_prev = dc * f
+        dpre = jnp.concatenate(
+            [
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ],
+            axis=1,
+        )
+        dxw_ref[t] = dpre
+        dwhh_ref[...] = dwhh_ref[...] + jnp.dot(
+            h_prev.T, dpre, preferred_element_type=jnp.float32
+        )
+        dh_scr[...] = jnp.dot(
+            dpre, whh.T, preferred_element_type=jnp.float32
+        )
+        dc_scr[...] = dc_prev
+        return 0
+
+    lax.fori_loop(0, ch, step, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def lstm_scan_pallas(
+    xw: Array, whh: Array, hidden: int, interpret: bool = False
+) -> Array:
+    """Pallas LSTM recurrence: ``xw [T, B, 4H]`` (precomputed input
+    projection incl. both biases), ``whh [H, 4H]`` → hidden states
+    ``[T, B, H]`` (zero initial state, torch gate order i,f,g,o)."""
+    h_out, _ = _lstm_fwd(xw, whh, hidden, interpret)
+    return h_out
+
+
+def _pad_time(xw):
+    t = xw.shape[0]
+    pad = (-t) % CHUNK
+    if pad:
+        xw = jnp.concatenate(
+            [xw, jnp.zeros((pad,) + xw.shape[1:], xw.dtype)], axis=0
+        )
+    return xw, t
+
+
+def _lstm_fwd(xw, whh, hidden, interpret):
+    xw32 = xw.astype(jnp.float32)
+    whh32 = whh.astype(jnp.float32)
+    xw_p, t_real = _pad_time(xw32)
+    t, b, g4 = xw_p.shape
+    grid = (t // CHUNK,)
+    kernel = functools.partial(_fwd_kernel, hidden=hidden)
+    h_all, c_all = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((CHUNK, b, g4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, b, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, b, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((b, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw_p, whh32)
+    h_out = h_all[:t_real].astype(xw.dtype)
+    return h_out, (xw32, whh32, h_all, c_all, t_real)
+
+
+def _lstm_fwd_vjp(xw, whh, hidden, interpret):
+    h_out, res = _lstm_fwd(xw, whh, hidden, interpret)
+    return h_out, res
+
+
+def _lstm_bwd(hidden, interpret, res, g):
+    xw32, whh32, h_all, c_all, t_real = res
+    t = h_all.shape[0]
+    b = h_all.shape[1]
+    g4 = xw32.shape[-1]
+    g_p = jnp.zeros((t, b, hidden), jnp.float32)
+    g_p = g_p.at[:t_real].set(g.astype(jnp.float32))
+    xw_p, _ = _pad_time(xw32)
+    # previous-step state sequences (zero at t=0)
+    zeros1 = jnp.zeros((1, b, hidden), jnp.float32)
+    h_prev = jnp.concatenate([zeros1, h_all[:-1]], axis=0)
+    c_prev = jnp.concatenate([zeros1, c_all[:-1]], axis=0)
+
+    grid = (t // CHUNK,)
+    n_chunks = t // CHUNK
+    rev = lambda i: (n_chunks - 1 - i, 0, 0)  # walk chunks in reverse
+    kernel = functools.partial(_bwd_kernel, hidden=hidden)
+    blk = lambda d: pl.BlockSpec((CHUNK, b, d), rev, memory_space=pltpu.VMEM)
+    dxw, dwhh = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            blk(g4),  # xw
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whh
+            blk(hidden),  # h
+            blk(hidden),  # c
+            blk(hidden),  # h_prev
+            blk(hidden),  # c_prev
+            blk(hidden),  # g
+        ],
+        out_specs=[
+            blk(g4),  # dxw
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dwhh (accumulated)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, g4), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, g4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((b, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw_p, whh32, h_all, c_all, h_prev, c_prev, g_p)
+    return dxw[:t_real], dwhh
+
+
+lstm_scan_pallas.defvjp(_lstm_fwd_vjp, _lstm_bwd)

@@ -329,3 +329,150 @@ def test_clip_kld_head_parity(rng):
     assert_close(ce, ref_ce.item(), atol=1e-4)
     assert_close(pmu2, ref_pmu2.item(), atol=2e-4)
     assert_close(kldv, ref_kld.item(), atol=2e-4)
+
+
+def test_clip_plain_head_parity(rng):
+    """Plain symmetric InfoNCE head (ref clip_model.py:657-693)."""
+    from transformer_clip_eeg_tpu.models import CLIP
+
+    t_eeg, t_sp, j_eeg, j_sp = _small_pair_encoders()
+    t_head = ref_clip.CLIP(t_eeg, t_sp, temperature=0.075).eval()
+    j_head = CLIP(eegModel=j_eeg, speechModel=j_sp, temperature=0.075)
+    bs = 6
+    eeg = rng.standard_normal((bs, WL, 64)).astype(np.float32)
+    speech = rng.standard_normal((bs, WL, 40)).astype(np.float32)
+    variables = jax.tree.map(jnp.asarray, convert_head(t_head))
+    with torch.no_grad():
+        ref_loss = t_head(torch.from_numpy(eeg), torch.from_numpy(speech))
+    loss = j_head.apply(variables, jnp.asarray(eeg), jnp.asarray(speech))
+    assert_close(loss, ref_loss.item(), atol=1e-4)
+
+
+def test_clip_mp_head_parity(rng):
+    """Multiple-positives head (ref clip_model.py:1000-1078): eeg batch is
+    n_repeats x the speech batch."""
+    from transformer_clip_eeg_tpu.models import CLIPSimMultiplePositives
+
+    t_eeg, t_sp, j_eeg, j_sp = _small_pair_encoders()
+    t_head = ref_clip.CLIPSimMultiplePositives(
+        t_eeg, t_sp, temperature=0.075, window_length=WL,
+        lambda_clip=1.0, lambda_average=0.5,
+    ).eval()
+    j_head = CLIPSimMultiplePositives(
+        eegModel=j_eeg, speechModel=j_sp, temperature=0.075,
+        window_length=WL, lambda_clip=1.0, lambda_average=0.5,
+    )
+    n_speech, n_repeats = 4, 2
+    eeg = rng.standard_normal((n_speech * n_repeats, WL, 64)).astype(np.float32)
+    speech = rng.standard_normal((n_speech, WL, 40)).astype(np.float32)
+    ids = np.arange(n_speech * n_repeats, dtype=np.int64)
+    variables = jax.tree.map(jnp.asarray, convert_head(t_head))
+    with torch.no_grad():
+        ref = t_head(
+            torch.from_numpy(eeg), torch.from_numpy(speech),
+            torch.from_numpy(ids),
+        )
+    out = j_head.apply(
+        variables, jnp.asarray(eeg), jnp.asarray(speech), jnp.asarray(ids),
+        True,
+    )
+    for a, b in zip(out, ref):
+        assert_close(a, b.item(), atol=2e-4)
+
+
+def test_clip_mp_adapted_head_parity(rng):
+    from transformer_clip_eeg_tpu.models import CLIPSimMultiplePositivesAdapted
+
+    t_eeg, t_sp, j_eeg, j_sp = _small_pair_encoders()
+    t_head = ref_clip.CLIPSimMultiplePositivesAdapted(
+        t_eeg, t_sp, temperature=0.075, window_length=WL,
+        lambda_clip=1.0, lambda_average=0.5,
+    ).eval()
+    j_head = CLIPSimMultiplePositivesAdapted(
+        eegModel=j_eeg, speechModel=j_sp, temperature=0.075,
+        window_length=WL, lambda_clip=1.0, lambda_average=0.5,
+    )
+    n_speech, n_repeats = 4, 2
+    eeg = rng.standard_normal((n_speech * n_repeats, WL, 64)).astype(np.float32)
+    speech = rng.standard_normal((n_speech, WL, 40)).astype(np.float32)
+    ids = np.arange(n_speech * n_repeats, dtype=np.int64)
+    variables = jax.tree.map(jnp.asarray, convert_head(t_head))
+    with torch.no_grad():
+        ref = t_head(
+            torch.from_numpy(eeg), torch.from_numpy(speech),
+            torch.from_numpy(ids),
+        )
+    out = j_head.apply(
+        variables, jnp.asarray(eeg), jnp.asarray(speech), jnp.asarray(ids),
+        True,
+    )
+    for a, b in zip(out, ref):
+        assert_close(a, b.item(), atol=2e-4)
+
+
+def test_clip_kld_latent_proj_head_parity(rng):
+    from transformer_clip_eeg_tpu.models import CLIPKLDWithLatentProj
+
+    t_eeg, t_sp, j_eeg, j_sp = _small_pair_encoders()
+    n_classes, latent = 30, 12
+    t_head = ref_clip.CLIPKLDWithLatentProj(
+        t_eeg, t_sp, latent_dimension=latent, number_of_classes=n_classes,
+        temperature=0.075, window_length=WL, lambda_clip=1.0,
+        lambda_lower_bound=0.5, lambda_discriminative=0.5,
+        projection_head="linear",
+    ).eval()
+    j_head = CLIPKLDWithLatentProj(
+        eegModel=j_eeg, speechModel=j_sp, latent_dimension=latent,
+        number_of_classes=n_classes, temperature=0.075, window_length=WL,
+        lambda_clip=1.0, lambda_lower_bound=0.5, lambda_discriminative=0.5,
+        projection_head="linear",
+    )
+    bs = 6
+    eeg = rng.standard_normal((bs, WL, 64)).astype(np.float32)
+    speech = rng.standard_normal((bs, WL, 40)).astype(np.float32)
+    ids = rng.choice(n_classes, size=bs, replace=False).astype(np.int64)
+    variables = jax.tree.map(jnp.asarray, convert_head(t_head))
+    with torch.no_grad():
+        ref = t_head(
+            torch.from_numpy(eeg), torch.from_numpy(speech),
+            torch.from_numpy(ids),
+        )
+    out = j_head.apply(
+        variables, jnp.asarray(eeg), jnp.asarray(speech), jnp.asarray(ids),
+        True,
+    )
+    for a, b in zip(out, ref):
+        assert_close(a, b.item(), atol=3e-4)
+
+
+def test_memory_bank_multi_step_ema(rng):
+    """Bank EMA over several steps with repeated ids must track torch."""
+    from transformer_clip_eeg_tpu.models import MemoryBank
+
+    bank_size, dim = 12, 6
+    t_bank = ref_clip.memoryBank(
+        bank_size=bank_size, device=torch.device("cpu"), dim=dim,
+        momentum=0.8,
+    )
+    j_bank = MemoryBank(bank_size, dim, momentum=0.8)
+    # .copy() is load-bearing: tensor.numpy() is a view and jnp.asarray can
+    # be zero-copy on CPU — torch's in-place bank update would otherwise
+    # mutate the jax array too
+    variables = {
+        "membank": {"memory": jnp.asarray(t_bank.memory.numpy().copy())},
+        "params": {},
+    }
+    for step in range(4):
+        ids = rng.choice(bank_size, size=5, replace=False).astype(np.int64)
+        data = rng.standard_normal((5, dim)).astype(np.float32)
+        with torch.no_grad():
+            ref_avg = t_bank(torch.from_numpy(ids), torch.from_numpy(data))
+        avg, updates = j_bank.apply(
+            variables, jnp.asarray(ids), jnp.asarray(data),
+            mutable=["membank"],
+        )
+        assert_close(avg, ref_avg.numpy(), atol=1e-5)
+        variables = {"membank": updates["membank"], "params": {}}
+    assert_close(
+        variables["membank"]["memory"], t_bank.memory.numpy(), atol=1e-5
+    )

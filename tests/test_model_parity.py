@@ -476,3 +476,93 @@ def test_memory_bank_multi_step_ema(rng):
     assert_close(
         variables["membank"]["memory"], t_bank.memory.numpy(), atol=1e-5
     )
+
+
+def test_conv_block_parity(rng):
+    """ConvBlock (Conv2d→BN2d→ReLU, ref clip_model.py:644-655)."""
+    from transformer_clip_eeg_tpu.models import ConvBlock
+
+    t_blk = ref_clip.ConvBlock(3, 8, kernel_size=(3, 3), stride=1, padding=0)
+    t_blk.eval()
+    x = rng.standard_normal((2, 3, 10, 12)).astype(np.float32)
+    with torch.no_grad():
+        ref = t_blk(torch.from_numpy(x)).numpy()
+
+    j_blk = ConvBlock(3, 8, (3, 3), padding="valid")
+    variables = {
+        "params": {
+            "conv": {
+                "kernel": jnp.asarray(t_blk.conv.weight.detach().numpy()),
+                "bias": jnp.asarray(t_blk.conv.bias.detach().numpy()),
+            },
+            "batchnorm": {
+                "scale": jnp.asarray(t_blk.batchnorm.weight.detach().numpy()),
+                "bias": jnp.asarray(t_blk.batchnorm.bias.detach().numpy()),
+            },
+        },
+        "batch_stats": {
+            "batchnorm": {
+                "mean": jnp.asarray(t_blk.batchnorm.running_mean.numpy()),
+                "var": jnp.asarray(t_blk.batchnorm.running_var.numpy()),
+            }
+        },
+    }
+    out = j_blk.apply(variables, jnp.asarray(x))
+    assert_close(out, ref, atol=1e-5)
+
+
+def test_squeeze_layer():
+    """SqueezeLayer (ref clip_model.py:127-133): unit dims squeeze, others no-op."""
+    from transformer_clip_eeg_tpu.models import SqueezeLayer
+
+    x = jnp.zeros((4, 1, 7))
+    assert SqueezeLayer(axis=1).apply({}, x).shape == (4, 7)
+    assert SqueezeLayer(axis=2).apply({}, x).shape == (4, 1, 7)
+
+
+def test_load_torch_checkpoint_roundtrip(rng, tmp_path):
+    """A saved reference ``model.ckpt`` state_dict loads through
+    ``load_torch_checkpoint`` and reproduces the torch losses
+    (the 'checkpoint-loadable weights' parity contract,
+    ref train_clip_final.py:443-449,531-540)."""
+    from transformer_clip_eeg_tpu.utils.torch_import import load_torch_checkpoint
+
+    bank_size, latent_dim, bs = 40, WL * 8, 8
+
+    def factory():
+        t_eeg, t_sp, _, _ = _small_pair_encoders()
+        t_bank = ref_clip.memoryBank(
+            bank_size=bank_size, device=torch.device("cpu"), dim=latent_dim
+        )
+        return ref_clip.CLIPSimNoLatentProj(
+            t_eeg, t_sp, t_bank, temperature=0.075, window_length=WL,
+            lambda_clip=1.0, lambda_average=0.5,
+        )
+
+    torch.manual_seed(7)
+    t_head = factory()
+    ckpt = str(tmp_path / "model.ckpt")
+    torch.save(t_head.state_dict(), ckpt)
+
+    torch.manual_seed(99)  # factory inside the loader starts from new inits
+    variables = jax.tree.map(jnp.asarray, load_torch_checkpoint(ckpt, factory))
+    _, _, j_eeg, j_sp = _small_pair_encoders()
+    j_head = CLIPSimNoLatentProj(
+        eegModel=j_eeg, speechModel=j_sp, bank_size=bank_size,
+        latent_dim=latent_dim, temperature=0.075, window_length=WL,
+        lambda_clip=1.0, lambda_average=0.5,
+    )
+    eeg = rng.standard_normal((bs, WL, 64)).astype(np.float32)
+    speech = rng.standard_normal((bs, WL, 40)).astype(np.float32)
+    ids = rng.choice(bank_size, size=bs, replace=False).astype(np.int64)
+    t_head.eval()
+    with torch.no_grad():
+        ref = t_head(
+            torch.from_numpy(eeg), torch.from_numpy(speech), torch.from_numpy(ids)
+        )
+    out, _ = j_head.apply(
+        variables, jnp.asarray(eeg), jnp.asarray(speech), jnp.asarray(ids),
+        True, mutable=["membank"],
+    )
+    for a, b in zip(out, ref):
+        assert_close(a, b.item(), atol=5e-4)

@@ -258,6 +258,16 @@ class EEGWindowDataset:
         permutation of the first ``bs * shuffle_percentage`` columns."""
         n_subs, len_batch = eeg.shape[0], eeg.shape[1]
         bs = self.batch_size
+        if len_batch < bs:
+            # same failure mode as the reference (np.random.choice raises),
+            # but with an actionable message; hit when story length is an
+            # exact multiple of the chunk size (the [:-1] windowing quirk,
+            # ref dataset_loader.py:476, drops one window per chunk)
+            raise ValueError(
+                f"chunk has only {len_batch} windows but batch_size={bs}; "
+                "reduce --batch_size or use recordings whose length is not "
+                "an exact multiple of hop*(batch_size-1)+window"
+            )
         speech_idx = np.stack(
             [self.rng.choice(len_batch, bs, replace=False) for _ in range(n_subs)]
         )

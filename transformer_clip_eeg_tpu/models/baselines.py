@@ -46,6 +46,47 @@ class ClassificationHead(nn.Module):
         return x, out
 
 
+class SqueezeLayer(nn.Module):
+    """Squeeze one axis (ref clip_model.py:127-133) — torch's module wrapper
+    around ``squeeze``; kept for experiment-script parity."""
+
+    axis: int
+
+    def __call__(self, x: Array) -> Array:
+        if x.shape[self.axis] != 1:
+            return x  # torch.squeeze(dim=) is a no-op on non-unit dims
+        return jnp.squeeze(x, axis=self.axis)
+
+
+class ConvBlock(nn.Module):
+    """Conv2d → BatchNorm2d → activation (ref clip_model.py:644-655).
+
+    Torch ``[B, C, H, W]`` layout; unused by the training driver (same as
+    the reference) but part of the component inventory."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Tuple[int, int]
+    padding: str = "valid"
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: Array, use_running_average: bool = True) -> Array:
+        x = _Conv2dTorch(
+            self.in_channels,
+            self.out_channels,
+            self.kernel_size,
+            padding=self.padding,
+            name="conv",
+        )(x)
+        x = _BatchNorm2dTorch(name="batchnorm")(x, use_running_average)
+        if self.activation == "relu":
+            return jax.nn.relu(x)
+        if self.activation == "elu":
+            return elu(x)
+        raise ValueError(f"unknown activation {self.activation!r}")
+
+
 class FCNN(nn.Module):
     """Fully-connected ladder decoder (ref clip_model.py:1496-1522)."""
 

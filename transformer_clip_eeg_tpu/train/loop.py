@@ -72,6 +72,18 @@ def batch_iterator(
     keys = list(dataset.batches_keys)
     if shuffle_chunks:
         rng.shuffle(keys)
+    if not dataset.features_to_load:
+        raise ValueError(
+            "dataset has no stimulus features — no audio files matched the "
+            "requested stimulus feature (check --stimulus_features against "
+            "the *_-_<feature>.npy files in derivatives/preprocessed_stimuli)"
+        )
+    if not dataset.batches_keys:
+        raise ValueError(
+            "dataset produced zero story chunks — every story was shorter "
+            "than hop*(batch_size-1)+window samples; reduce --batch_size or "
+            "provide longer recordings"
+        )
     feature = dataset.features_to_load[0]
     for key in keys:
         chunk = dataset.chunks[key]

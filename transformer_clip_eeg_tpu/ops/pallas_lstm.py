@@ -35,6 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 CHUNK = 8  # timesteps per grid program
+BATCH_TILE = 128  # batch rows per grid program (VMEM blocks scale with this;
+                  # batch > BATCH_TILE walks tiles in an outer grid dim)
 
 
 def _gates(pre, h):
@@ -47,7 +49,7 @@ def _gates(pre, h):
 
 def _fwd_kernel(xw_ref, whh_ref, h_out_ref, c_out_ref, h_scr, c_scr, *,
                 hidden):
-    gi = pl.program_id(0)
+    gi = pl.program_id(1)  # time-chunk index (batch tile is the outer dim)
 
     @pl.when(gi == 0)
     def _init():
@@ -76,12 +78,16 @@ def _bwd_kernel(
     xw_ref, whh_ref, h_ref, c_ref, h_prev_ref, c_prev_ref, g_ref,
     dxw_ref, dwhh_ref, dh_scr, dc_scr, *, hidden,
 ):
-    gi = pl.program_id(0)
+    bi = pl.program_id(0)  # batch tile (outer)
+    gi = pl.program_id(1)  # reversed time chunk (inner)
 
     @pl.when(gi == 0)
     def _init():
         dh_scr[...] = jnp.zeros_like(dh_scr)
         dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    @pl.when(jnp.logical_and(bi == 0, gi == 0))
+    def _init_dw():
         dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
 
     whh = whh_ref[...]
@@ -147,25 +153,39 @@ def _pad_time(xw):
     return xw, t
 
 
+def _pad_batch(x, axis=1):
+    """Pad the batch axis to a multiple of the batch tile; returns
+    (padded, real_b, tile). Batches ≤ BATCH_TILE stay a single tile."""
+    b = x.shape[axis]
+    bt = min(b, BATCH_TILE)
+    pad = (-b) % bt
+    if pad:
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        x = jnp.pad(x, widths)
+    return x, b, bt
+
+
 def _lstm_fwd(xw, whh, hidden, interpret):
     xw32 = xw.astype(jnp.float32)
     whh32 = whh.astype(jnp.float32)
     xw_p, t_real = _pad_time(xw32)
+    xw_p, b_real, bt = _pad_batch(xw_p)
     t, b, g4 = xw_p.shape
-    grid = (t // CHUNK,)
+    grid = (b // bt, t // CHUNK)  # batch tiles outer, time sequential inner
     kernel = functools.partial(_fwd_kernel, hidden=hidden)
     h_all, c_all = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((CHUNK, b, g4), lambda i: (i, 0, 0),
+            pl.BlockSpec((CHUNK, bt, g4), lambda bi, ti: (ti, bi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, b, hidden), lambda i: (i, 0, 0),
+            pl.BlockSpec((CHUNK, bt, hidden), lambda bi, ti: (ti, bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, b, hidden), lambda i: (i, 0, 0),
+            pl.BlockSpec((CHUNK, bt, hidden), lambda bi, ti: (ti, bi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -173,12 +193,12 @@ def _lstm_fwd(xw, whh, hidden, interpret):
             jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b, hidden), jnp.float32),
-            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((bt, hidden), jnp.float32),
+            pltpu.VMEM((bt, hidden), jnp.float32),
         ],
         interpret=interpret,
     )(xw_p, whh32)
-    h_out = h_all[:t_real].astype(xw.dtype)
+    h_out = h_all[:t_real, :b_real].astype(xw.dtype)
     return h_out, (xw32, whh32, h_all, c_all, t_real)
 
 
@@ -190,21 +210,23 @@ def _lstm_fwd_vjp(xw, whh, hidden, interpret):
 def _lstm_bwd(hidden, interpret, res, g):
     xw32, whh32, h_all, c_all, t_real = res
     t = h_all.shape[0]
-    b = h_all.shape[1]
+    b = h_all.shape[1]  # already batch-padded by the forward
+    b_real = g.shape[1]
     g4 = xw32.shape[-1]
     g_p = jnp.zeros((t, b, hidden), jnp.float32)
-    g_p = g_p.at[:t_real].set(g.astype(jnp.float32))
+    g_p = g_p.at[:t_real, :b_real].set(g.astype(jnp.float32))
     xw_p, _ = _pad_time(xw32)
+    xw_p, _, bt = _pad_batch(xw_p)
     # previous-step state sequences (zero at t=0)
     zeros1 = jnp.zeros((1, b, hidden), jnp.float32)
     h_prev = jnp.concatenate([zeros1, h_all[:-1]], axis=0)
     c_prev = jnp.concatenate([zeros1, c_all[:-1]], axis=0)
 
-    grid = (t // CHUNK,)
     n_chunks = t // CHUNK
-    rev = lambda i: (n_chunks - 1 - i, 0, 0)  # walk chunks in reverse
+    grid = (b // bt, n_chunks)
+    rev = lambda bi, ti: (n_chunks - 1 - ti, bi, 0)  # chunks in reverse
     kernel = functools.partial(_bwd_kernel, hidden=hidden)
-    blk = lambda d: pl.BlockSpec((CHUNK, b, d), rev, memory_space=pltpu.VMEM)
+    blk = lambda d: pl.BlockSpec((CHUNK, bt, d), rev, memory_space=pltpu.VMEM)
     dxw, dwhh = pl.pallas_call(
         kernel,
         grid=grid,
@@ -226,12 +248,12 @@ def _lstm_bwd(hidden, interpret, res, g):
             jax.ShapeDtypeStruct((hidden, g4), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b, hidden), jnp.float32),
-            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((bt, hidden), jnp.float32),
+            pltpu.VMEM((bt, hidden), jnp.float32),
         ],
         interpret=interpret,
     )(xw_p, whh32, h_all, c_all, h_prev, c_prev, g_p)
-    return dxw[:t_real], dwhh
+    return dxw[:t_real, :b_real], dwhh
 
 
 lstm_scan_pallas.defvjp(_lstm_fwd_vjp, _lstm_bwd)

@@ -209,3 +209,90 @@ def test_cli_end_to_end(tmp_path):
     assert os.path.exists(
         os.path.join(rd, "evaluation_challenge_set_2023_mm.json")
     )
+
+
+def test_mm_challenge_eval_reference_oracle(tmp_path):
+    """Our MM eval vs the actual reference implementation on the same
+    fixture and identical (converted) weights: per-subject accuracies and
+    top-X curves must agree (ref train_clip_helper_functions.py:51-205)."""
+    torch = pytest.importorskip("torch")
+    import types
+
+    # the reference helper imports dataset_loader → braindecode (absent
+    # here); the MM eval itself never touches it, so stub the module
+    if "braindecode" not in sys.modules:
+        stub = types.ModuleType("braindecode")
+        aug = types.ModuleType("braindecode.augmentation")
+        for name in [
+            "SignFlip", "FTSurrogate", "FrequencyShift", "BandstopFilter",
+            "GaussianNoise", "SmoothTimeMask", "ChannelsDropout",
+            "ChannelsShuffle",
+        ]:
+            setattr(aug, name, object)
+        stub.augmentation = aug
+        sys.modules["braindecode"] = stub
+        sys.modules["braindecode.augmentation"] = aug
+    sys.path.insert(0, "/root/reference")
+    import clip_model as ref_clip
+    import train_clip_helper_functions as ref_helper
+
+    from transformer_clip_eeg_tpu.models import (
+        CLIPSimNoLatentProj, EEGConformerInterleaved, EEGConvLSTM,
+    )
+    from transformer_clip_eeg_tpu.utils.torch_import import convert_head
+    import jax
+    import jax.numpy as jnp
+
+    root = str(tmp_path / "data")
+    sd = 16
+    make_fixture(root, n_stories=3, n_subjects=2, story_seconds=45,
+                 speech_dim=sd)
+    mm_dir = os.path.join(root, "icassp", "TEST_task1_matchmismatch")
+
+    wl = 192
+    torch.manual_seed(0)
+    t_eeg = ref_clip.EEGConformerInterleaved(
+        output_dim=4, conformer_input_dim=64, filters=(64,), kernels=(64,),
+        time_dimension=wl, depth=1,
+    )
+    t_sp = ref_clip.EEGConvLSTM(
+        units_lstm=8, output_dim=4, eeg_dim=sd, filters=(64,), kernels=(32,),
+        input_channels=sd, time_dimension=wl,
+    )
+    latent = t_sp.get_output_dim(wl)
+    t_bank = ref_clip.memoryBank(
+        bank_size=50, device=torch.device("cpu"), dim=latent
+    )
+    t_head = ref_clip.CLIPSimNoLatentProj(
+        t_eeg, t_sp, t_bank, temperature=0.075, window_length=wl
+    ).eval()
+
+    ref_ev, _, ref_topx, _ = ref_helper.evaluate_model_challenge_2023_mm(
+        t_head, torch.device("cpu"), speech_feature="wav2vec_19",
+        eeg_folder=mm_dir,
+    )
+
+    j_eeg = EEGConformerInterleaved(
+        output_dim=4, conformer_input_dim=64, filters=(64,), kernels=(64,),
+        time_dimension=wl, depth=1,
+    )
+    j_sp = EEGConvLSTM(
+        units_lstm=8, output_dim=4, eeg_dim=sd, filters=(64,), kernels=(32,),
+        time_dimension=wl,
+    )
+    j_head = CLIPSimNoLatentProj(
+        eegModel=j_eeg, speechModel=j_sp, bank_size=50, latent_dim=latent,
+        temperature=0.075, window_length=wl,
+    )
+    variables = jax.tree.map(jnp.asarray, convert_head(t_head))
+    ev, _, topx, _ = evaluate_model_challenge_2023_mm(
+        j_head, variables, mm_dir, speech_feature="wav2vec_19"
+    )
+
+    assert set(ev) == set(ref_ev)
+    for sub in ev:
+        assert ev[sub] == pytest.approx(ref_ev[sub], abs=1e-6), sub
+    for sub in topx:
+        np.testing.assert_allclose(
+            np.asarray(topx[sub]), np.asarray(ref_topx[sub]), atol=1e-6
+        )

@@ -137,3 +137,18 @@ def test_warmup_uses_loss_ce_only(fixture_root, tmp_path):
     )
     out = trainer.fit()
     assert np.isfinite(out["history"][0]["val_loss_ce"])
+
+
+def test_reference_flag_parity():
+    """Every argparse flag of the reference driver is a TrainConfig field,
+    so reference-written args.txt files hydrate losslessly
+    (ref train_clip_final.py:158-218)."""
+    import dataclasses
+    import re
+
+    src = open("/root/reference/train_clip_final.py").read()
+    ref_flags = set(re.findall(r"add_argument\(\s*['\"]--([A-Za-z0-9_]+)", src))
+    assert len(ref_flags) >= 35
+    ours = {f.name for f in dataclasses.fields(TrainConfig)}
+    missing = ref_flags - ours
+    assert not missing, f"reference flags without a TrainConfig field: {missing}"

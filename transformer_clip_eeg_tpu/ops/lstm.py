@@ -88,32 +88,45 @@ class LSTM(nn.Module):
             _pallas_lstm_default() if self.use_pallas is None else self.use_pallas
         )
 
-        def direction(suffix: str, xs: Array) -> Array:
+        def dir_params(suffix: str):
             kernel_ih = self.param(f"kernel_ih{suffix}", init, (in_features, 4 * h))
             kernel_hh = self.param(f"kernel_hh{suffix}", init, (h, 4 * h))
             bias_ih = self.param(f"bias_ih{suffix}", init, (4 * h,))
             bias_hh = self.param(f"bias_hh{suffix}", init, (4 * h,))
+            return kernel_ih, kernel_hh, bias_ih, bias_hh
+
+        def input_proj(xs: Array, p) -> Array:
             # one big MXU matmul for the input projection of every timestep
+            kernel_ih, _, bias_ih, bias_hh = p
             xw = (
                 jnp.dot(xs, kernel_ih.astype(xs.dtype), preferred_element_type=xs.dtype)
                 + (bias_ih + bias_hh).astype(xs.dtype)
             )
-            xw = jnp.transpose(xw, (1, 0, 2))  # [T, B, 4H]
+            return jnp.transpose(xw, (1, 0, 2))  # [T, B, 4H]
+
+        interpret = jax.default_backend() != "tpu"
+        p_f = dir_params("")
+        if self.bidirectional:
+            p_r = dir_params("_reverse")
+
+        # NOTE: block-diagonal direction packing (fwd+rev as one hidden-2H
+        # recurrence) was tried and measured SLOWER: doubling the state
+        # width forces the VMEM-constrained batch tile from 128 down to 56,
+        # which adds more sequential grid programs than packing removes.
+        def direction(p, xs: Array) -> Array:
+            xw = input_proj(xs, p)
             if enabled:
                 from transformer_clip_eeg_tpu.ops.pallas_lstm import (
                     lstm_scan_pallas,
                 )
 
-                hs = lstm_scan_pallas(
-                    xw, kernel_hh.astype(xs.dtype), h,
-                    jax.default_backend() != "tpu",
-                )
+                hs = lstm_scan_pallas(xw, p[1].astype(xs.dtype), h, interpret)
             else:
-                hs = _lstm_scan(xw, kernel_hh.astype(xs.dtype), h)
+                hs = _lstm_scan(xw, p[1].astype(xs.dtype), h)
             return jnp.transpose(hs, (1, 0, 2))  # [B, T, H]
 
-        out = direction("", x)
+        out = direction(p_f, x)
         if self.bidirectional:
-            rev = direction("_reverse", jnp.flip(x, axis=1))
+            rev = direction(p_r, jnp.flip(x, axis=1))
             out = jnp.concatenate([out, jnp.flip(rev, axis=1)], axis=-1)
         return out

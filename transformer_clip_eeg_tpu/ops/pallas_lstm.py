@@ -11,7 +11,13 @@ state.
 
 The input projection ``x @ W_ih + b`` stays outside (one big MXU matmul over
 all timesteps, see ``ops/lstm.py``); the kernel consumes the precomputed
-gate inputs ``xw [T, B, 4H]``.
+gate inputs ``xw [T, D, B, 4H]`` where ``D`` is a *direction* axis: a
+bidirectional layer packs its forward and (time-flipped) reverse recurrences
+into one kernel launch.  The recurrence is latency-bound (192 sequential
+tiny matmuls), so running both directions per grid step instead of two
+separate kernel launches halves the sequential program count.  Each
+direction has its own ``whh``; the batch-tile grid axis is direction-major
+and the index map selects the direction's weight block.
 
 Backward is textbook BPTT, also time-chunked in reverse: gate activations
 are recomputed from (xw, h_prev) — only ``h`` and ``c`` sequences (the
@@ -35,8 +41,21 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 CHUNK = 8  # timesteps per grid program
-BATCH_TILE = 128  # batch rows per grid program (VMEM blocks scale with this;
-                  # batch > BATCH_TILE walks tiles in an outer grid dim)
+BATCH_TILE = 128  # cap on batch rows per grid program
+_VMEM_BUDGET = 29 * 2**19  # 14.5 MiB headroom for the bwd kernel (16 MiB
+                           # scoped limit minus pipeline overheads)
+
+
+def _batch_tile(hidden: int) -> int:
+    """Largest batch tile whose backward-kernel VMEM blocks fit the budget.
+
+    Per grid step the bwd kernel holds ~13·hidden lanes per batch row per
+    timestep (xw + dxw at 4H each, five state/grad blocks at H), double
+    buffered, f32; plus the whh/dwhh weight blocks and h/c scratch."""
+    per_row = CHUNK * hidden * 13 * 4 * 2
+    weights = 2 * hidden * 4 * hidden * 4  # whh + dwhh, constant-resident
+    bt = min(BATCH_TILE, max((_VMEM_BUDGET - weights) // per_row, 8))
+    return (bt // 8) * 8 if bt >= 8 else bt
 
 
 def _gates(pre, h):
@@ -56,7 +75,7 @@ def _fwd_kernel(xw_ref, whh_ref, h_out_ref, c_out_ref, h_scr, c_scr, *,
         h_scr[...] = jnp.zeros_like(h_scr)
         c_scr[...] = jnp.zeros_like(c_scr)
 
-    whh = whh_ref[...]
+    whh = whh_ref[0]  # [H, 4H]: this batch tile's direction
 
     def step(t, _):
         pre = xw_ref[t] + jnp.dot(
@@ -76,9 +95,9 @@ def _fwd_kernel(xw_ref, whh_ref, h_out_ref, c_out_ref, h_scr, c_scr, *,
 
 def _bwd_kernel(
     xw_ref, whh_ref, h_ref, c_ref, h_prev_ref, c_prev_ref, g_ref,
-    dxw_ref, dwhh_ref, dh_scr, dc_scr, *, hidden,
+    dxw_ref, dwhh_ref, dh_scr, dc_scr, *, hidden, tiles_per_dir,
 ):
-    bi = pl.program_id(0)  # batch tile (outer)
+    bi = pl.program_id(0)  # direction-major batch tile (outer)
     gi = pl.program_id(1)  # reversed time chunk (inner)
 
     @pl.when(gi == 0)
@@ -86,11 +105,14 @@ def _bwd_kernel(
         dh_scr[...] = jnp.zeros_like(dh_scr)
         dc_scr[...] = jnp.zeros_like(dc_scr)
 
-    @pl.when(jnp.logical_and(bi == 0, gi == 0))
+    # zero this direction's dwhh block at its first tile (tiles of one
+    # direction are contiguous in bi, so the block stays VMEM-resident
+    # across its accumulation window)
+    @pl.when(jnp.logical_and(bi % tiles_per_dir == 0, gi == 0))
     def _init_dw():
         dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
 
-    whh = whh_ref[...]
+    whh = whh_ref[0]
     ch = xw_ref.shape[0]
 
     def step(j, _):
@@ -120,7 +142,7 @@ def _bwd_kernel(
             axis=1,
         )
         dxw_ref[t] = dpre
-        dwhh_ref[...] = dwhh_ref[...] + jnp.dot(
+        dwhh_ref[0] = dwhh_ref[0] + jnp.dot(
             h_prev.T, dpre, preferred_element_type=jnp.float32
         )
         dh_scr[...] = jnp.dot(
@@ -133,14 +155,28 @@ def _bwd_kernel(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def lstm_scan_pallas_packed(
+    xw: Array, whh: Array, hidden: int, interpret: bool = False
+) -> Array:
+    """Direction-packed Pallas LSTM recurrence.
+
+    ``xw [T, D, B, 4H]`` (precomputed input projection incl. both biases;
+    ``D`` independent recurrences — e.g. forward + time-flipped reverse of a
+    bidirectional layer), ``whh [D, H, 4H]`` → hidden states ``[T, D, B, H]``
+    (zero initial state, torch gate order i,f,g,o).  All ``D`` recurrences
+    advance within one kernel launch."""
+    h_out, _ = _lstm_fwd(xw, whh, hidden, interpret)
+    return h_out
+
+
 def lstm_scan_pallas(
     xw: Array, whh: Array, hidden: int, interpret: bool = False
 ) -> Array:
-    """Pallas LSTM recurrence: ``xw [T, B, 4H]`` (precomputed input
-    projection incl. both biases), ``whh [H, 4H]`` → hidden states
-    ``[T, B, H]`` (zero initial state, torch gate order i,f,g,o)."""
-    h_out, _ = _lstm_fwd(xw, whh, hidden, interpret)
-    return h_out
+    """Single-recurrence convenience wrapper: ``xw [T, B, 4H]``,
+    ``whh [H, 4H]`` → ``[T, B, H]``."""
+    return lstm_scan_pallas_packed(
+        xw[:, None], whh[None], hidden, interpret
+    )[:, 0]
 
 
 def _pad_time(xw):
@@ -153,11 +189,11 @@ def _pad_time(xw):
     return xw, t
 
 
-def _pad_batch(x, axis=1):
+def _pad_batch(x, hidden, axis=2):
     """Pad the batch axis to a multiple of the batch tile; returns
-    (padded, real_b, tile). Batches ≤ BATCH_TILE stay a single tile."""
+    (padded, real_b, tile). Batches ≤ the tile stay a single tile."""
     b = x.shape[axis]
-    bt = min(b, BATCH_TILE)
+    bt = min(b, _batch_tile(hidden))
     pad = (-b) % bt
     if pad:
         widths = [(0, 0)] * x.ndim
@@ -167,20 +203,26 @@ def _pad_batch(x, axis=1):
 
 
 def _lstm_fwd(xw, whh, hidden, interpret):
-    xw32 = xw.astype(jnp.float32)
-    whh32 = whh.astype(jnp.float32)
+    xw32 = xw.astype(jnp.float32)  # [T, D, B, 4H]
+    whh32 = whh.astype(jnp.float32)  # [D, H, 4H]
     xw_p, t_real = _pad_time(xw32)
-    xw_p, b_real, bt = _pad_batch(xw_p)
-    t, b, g4 = xw_p.shape
-    grid = (b // bt, t // CHUNK)  # batch tiles outer, time sequential inner
+    xw_p, b_real, bt = _pad_batch(xw_p, hidden)
+    t, d, bp, g4 = xw_p.shape
+    tiles_per_dir = bp // bt
+    xw_flat = xw_p.reshape(t, d * bp, g4)  # direction-major batch rows
+    grid = (d * tiles_per_dir, t // CHUNK)  # tiles outer, time inner
     kernel = functools.partial(_fwd_kernel, hidden=hidden)
+    whh_spec = pl.BlockSpec(
+        (1, hidden, g4), lambda bi, ti: (bi // tiles_per_dir, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     h_all, c_all = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((CHUNK, bt, g4), lambda bi, ti: (ti, bi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            whh_spec,
         ],
         out_specs=[
             pl.BlockSpec((CHUNK, bt, hidden), lambda bi, ti: (ti, bi, 0),
@@ -189,16 +231,20 @@ def _lstm_fwd(xw, whh, hidden, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, d * bp, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((t, d * bp, hidden), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bt, hidden), jnp.float32),
             pltpu.VMEM((bt, hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(xw_p, whh32)
-    h_out = h_all[:t_real, :b_real].astype(xw.dtype)
+    )(xw_flat, whh32)
+    h_out = (
+        h_all[:t_real]
+        .reshape(t_real, d, bp, hidden)[:, :, :b_real]
+        .astype(xw.dtype)
+    )
     return h_out, (xw32, whh32, h_all, c_all, t_real)
 
 
@@ -210,29 +256,39 @@ def _lstm_fwd_vjp(xw, whh, hidden, interpret):
 def _lstm_bwd(hidden, interpret, res, g):
     xw32, whh32, h_all, c_all, t_real = res
     t = h_all.shape[0]
-    b = h_all.shape[1]  # already batch-padded by the forward
-    b_real = g.shape[1]
+    d = whh32.shape[0]
+    bp = h_all.shape[1] // d  # per-direction padded batch
+    b_real = g.shape[2]
     g4 = xw32.shape[-1]
-    g_p = jnp.zeros((t, b, hidden), jnp.float32)
-    g_p = g_p.at[:t_real, :b_real].set(g.astype(jnp.float32))
+    g_p = jnp.zeros((t, d, bp, hidden), jnp.float32)
+    g_p = g_p.at[:t_real, :, :b_real].set(g.astype(jnp.float32))
+    g_p = g_p.reshape(t, d * bp, hidden)
     xw_p, _ = _pad_time(xw32)
-    xw_p, _, bt = _pad_batch(xw_p)
+    xw_p, _, bt = _pad_batch(xw_p, hidden)
+    xw_flat = xw_p.reshape(t, d * bp, g4)
+    tiles_per_dir = bp // bt
     # previous-step state sequences (zero at t=0)
-    zeros1 = jnp.zeros((1, b, hidden), jnp.float32)
+    zeros1 = jnp.zeros((1, d * bp, hidden), jnp.float32)
     h_prev = jnp.concatenate([zeros1, h_all[:-1]], axis=0)
     c_prev = jnp.concatenate([zeros1, c_all[:-1]], axis=0)
 
     n_chunks = t // CHUNK
-    grid = (b // bt, n_chunks)
+    grid = (d * tiles_per_dir, n_chunks)
     rev = lambda bi, ti: (n_chunks - 1 - ti, bi, 0)  # chunks in reverse
-    kernel = functools.partial(_bwd_kernel, hidden=hidden)
-    blk = lambda d: pl.BlockSpec((CHUNK, bt, d), rev, memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _bwd_kernel, hidden=hidden, tiles_per_dir=tiles_per_dir
+    )
+    blk = lambda w: pl.BlockSpec((CHUNK, bt, w), rev, memory_space=pltpu.VMEM)
+    dir_spec = pl.BlockSpec(
+        (1, hidden, g4), lambda bi, ti: (bi // tiles_per_dir, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     dxw, dwhh = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             blk(g4),  # xw
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whh
+            dir_spec,  # whh
             blk(hidden),  # h
             blk(hidden),  # c
             blk(hidden),  # h_prev
@@ -241,19 +297,20 @@ def _lstm_bwd(hidden, interpret, res, g):
         ],
         out_specs=[
             blk(g4),  # dxw
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # dwhh (accumulated)
+            dir_spec,  # dwhh (accumulated per direction)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, g4), jnp.float32),
-            jax.ShapeDtypeStruct((hidden, g4), jnp.float32),
+            jax.ShapeDtypeStruct((t, d * bp, g4), jnp.float32),
+            jax.ShapeDtypeStruct((d, hidden, g4), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bt, hidden), jnp.float32),
             pltpu.VMEM((bt, hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(xw_p, whh32, h_all, c_all, h_prev, c_prev, g_p)
-    return dxw[:t_real, :b_real], dwhh
+    )(xw_flat, whh32, h_all, c_all, h_prev, c_prev, g_p)
+    dxw = dxw[:t_real].reshape(t_real, d, bp, g4)[:, :, :b_real]
+    return dxw, dwhh
 
 
-lstm_scan_pallas.defvjp(_lstm_fwd_vjp, _lstm_bwd)
+lstm_scan_pallas_packed.defvjp(_lstm_fwd_vjp, _lstm_bwd)

@@ -171,3 +171,98 @@ def test_batch_equalizer_matches_reference(rng):
     for a, b in zip(ours_f, ref_f):
         np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(ours_l, ref_l)
+
+
+def test_split_reference_oracle(tmp_path):
+    """Our split vs the reference's get_train_val_test_files_final on the
+    same fixture tree: all 8 lists must match as sets, debug and full
+    (ref train_clip_helper_functions.py:383-440)."""
+    import sys
+    import types
+
+    if "braindecode" not in sys.modules:
+        stub = types.ModuleType("braindecode")
+        aug = types.ModuleType("braindecode.augmentation")
+        for name in [
+            "SignFlip", "FTSurrogate", "FrequencyShift", "BandstopFilter",
+            "GaussianNoise", "SmoothTimeMask", "ChannelsDropout",
+            "ChannelsShuffle",
+        ]:
+            setattr(aug, name, object)
+        stub.augmentation = aug
+        sys.modules["braindecode"] = stub
+        sys.modules["braindecode.augmentation"] = aug
+    sys.path.insert(0, "/root/reference")
+    import train_clip_helper_functions as ref_helper
+
+    root = str(tmp_path / "data")
+    make_fixture(root, n_stories=4, n_subjects=3, story_seconds=45,
+                 speech_dim=8)
+    fold = os.path.join(root, "fold_split.json")
+    for run in (0, 3):
+        for debug in (False, True):
+            ours = get_train_val_test_files_final(
+                root, run, "wav2vec_19", fold, 2, debug=debug
+            )
+            ref = ref_helper.get_train_val_test_files_final(
+                root, run, "wav2vec_19", fold, 2, debug=debug
+            )
+            assert len(ours) == len(ref) == 8
+            for i, (a, b) in enumerate(zip(ours, ref)):
+                assert sorted(a) == sorted(b), (run, debug, i)
+
+
+def test_dataset_ingestion_reference_oracle(tmp_path):
+    """Our chunk store vs the reference's EEGDatasetSimdata.load_files on
+    the same files: chunk keys, EEG/speech window contents, identifiers,
+    and subject order must be identical (ref dataset_loader.py:197-281)."""
+    import sys
+    import types
+
+    if "braindecode" not in sys.modules:
+        stub = types.ModuleType("braindecode")
+        aug = types.ModuleType("braindecode.augmentation")
+        for name in [
+            "SignFlip", "FTSurrogate", "FrequencyShift", "BandstopFilter",
+            "GaussianNoise", "SmoothTimeMask", "ChannelsDropout",
+            "ChannelsShuffle",
+        ]:
+            setattr(aug, name, object)
+        stub.augmentation = aug
+        sys.modules["braindecode"] = stub
+        sys.modules["braindecode.augmentation"] = aug
+    sys.path.insert(0, "/root/reference")
+    import dataset_loader as ref_loader
+
+    root = str(tmp_path / "data")
+    make_fixture(root, n_stories=3, n_subjects=3, story_seconds=45,
+                 speech_dim=8)
+    fold = os.path.join(root, "fold_split.json")
+    files = get_train_val_test_files_final(root, 0, "wav2vec_19", fold, 3)
+    train_f, train_a = files[0], files[4]
+
+    bs = 4
+    ref_ds = ref_loader.EEGDatasetSimdata(
+        list(train_f), list(train_a), 192, 192, batch_size=bs
+    )
+    ours = EEGWindowDataset(train_f, train_a, 192, 192, batch_size=bs, seed=0)
+
+    assert sorted(ours.chunks.keys()) == sorted(ref_ds.eeg.keys())
+    assert (
+        ours.get_number_of_stimuli_segments()
+        == ref_ds.get_number_of_stimuli_segments()
+    )
+    for key in ref_ds.eeg:
+        ref_chunk = ref_ds.eeg[key]
+        our_chunk = ours.chunks[key]
+        assert our_chunk["sub"] == ref_chunk["sub"], key
+        np.testing.assert_array_equal(
+            np.asarray(our_chunk["identifiers"]),
+            np.asarray(ref_chunk["identifiers"]), err_msg=key,
+        )
+        np.testing.assert_array_equal(
+            our_chunk["eeg"], ref_chunk["eeg"], err_msg=key
+        )
+        np.testing.assert_array_equal(
+            our_chunk["wav2vec_19"], ref_chunk["wav2vec_19"], err_msg=key
+        )

@@ -82,3 +82,92 @@ def test_device_mode_training(ds, tmp_path):
     assert out["history"][-1]["val_loss_ce"] <= out["history"][0][
         "val_loss_ce"
     ] + 0.5
+
+
+def test_chunk_scan_step_matches_per_batch(ds):
+    """One-dispatch-per-chunk scan == the per-batch chunk step: identical
+    final state (params, opt state, memory bank) and per-batch losses;
+    padded rows (valid == 0) leave the state untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_clip_eeg_tpu.train.state import (
+        init_train_state,
+        make_optimizer,
+    )
+    from transformer_clip_eeg_tpu.train.steps import (
+        make_chunk_scan_step,
+        make_chunk_train_step,
+    )
+
+    root, train, val = ds
+    cfg = TrainConfig(
+        data_dir=root, run=0, batch_size=8, epochs=1,
+        attention_depth=1, latent_dim=4, lstm_units=8,
+        number_of_training_subjects=3, speech_dim_override=16,
+    )
+    import tempfile
+
+    trainer = Trainer(
+        cfg, train, val, results_dir=tempfile.mkdtemp(prefix="scan_eq_")
+    )
+    model = trainer.model
+    store = DeviceChunkStore(train)
+    items = list(store.epoch_chunk_batches(shuffle=False, add_eeg=False))
+    eeg_c, sp_c, ids_c, idx_m, subs_m, partner_m, valid, n = items[0]
+
+    b0 = gather_batch(eeg_c, sp_c, ids_c, idx_m[0], subs_m[0])
+    tx = make_optimizer("adamw", 1e-3)
+    state0 = init_train_state(
+        model, jax.random.PRNGKey(0), (b0["eeg"], b0["speech"], b0["ids"]), tx
+    )
+    rng = jax.random.PRNGKey(7)
+
+    scan_step = make_chunk_scan_step(cfg.model_arch, donate=False)
+    state_scan, losses_scan = scan_step(
+        state0, eeg_c, sp_c, ids_c, idx_m, subs_m, partner_m, valid, rng,
+        warmup=False,
+    )
+
+    per_step = make_chunk_train_step(cfg.model_arch, donate=False)
+    state_seq = state0
+    seq_losses = []
+    for i in range(n):
+        state_seq, losses = per_step(
+            state_seq, eeg_c, sp_c, ids_c, idx_m[i], subs_m[i],
+            partner_m[i], rng, warmup=False,
+        )
+        seq_losses.append(float(losses["loss_ce"]))
+
+    np.testing.assert_allclose(
+        np.asarray(losses_scan["loss_ce"])[:n], seq_losses, rtol=1e-5
+    )
+    # scan vs unrolled dispatch compile to different fusion orders, so
+    # grads carry ~1e-6 f32 noise — and early Adam updates are ~sign(g)*lr,
+    # which amplifies a near-zero-grad sign flip to O(lr) per step; params
+    # can therefore only be compared to a few*lr*n_steps
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-3 * n
+        ),
+        state_scan.params, state_seq.params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        state_scan.membank, state_seq.membank,
+    )
+    # padded rows revert the whole state, step counter included
+    assert int(state_scan.step) == int(state_seq.step) == n
+    # a fully-invalid chunk must leave everything unchanged
+    state_noop, _ = scan_step(
+        state0, eeg_c, sp_c, ids_c, idx_m, subs_m, partner_m,
+        np.zeros_like(valid), rng, warmup=False,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        state_noop.params, state0.params,
+    )

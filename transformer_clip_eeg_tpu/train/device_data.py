@@ -133,6 +133,60 @@ class DeviceChunkStore:
                 )
 
 
+    def epoch_chunk_batches(
+        self,
+        rng: Optional[np.random.Generator] = None,
+        shuffle: bool = True,
+        add_eeg: bool = False,
+    ) -> Iterator[Tuple]:
+        """Chunk-granular variant of ``epoch_batches`` for the scan step
+        (``train/steps.make_chunk_scan_step``): yields ``(eeg_chunk,
+        speech_chunk, ids_chunk, idx_mat [n, bs], subs_mat [n, bs],
+        partner_mat [n, bs], valid [n], n_real)`` per chunk, with the batch
+        list padded to the subs bucket (padding rows repeat row 0 and carry
+        ``valid == 0``) so only a handful of shapes ever compile."""
+        rng = rng or self.dataset.rng
+        keys = [
+            k
+            for k in self.dataset.batches_keys
+            if "eeg" in self.dataset.chunks[k]
+            and self.feature in self.dataset.chunks[k]
+        ]
+        if shuffle:
+            rng.shuffle(keys)
+        for key in keys:
+            chunk = self.dataset.chunks[key]
+            idx_m, subs_m = self.dataset.create_eeg_indices(chunk["eeg"])
+            eeg_d, speech_d, ids_d, n_subs, _ = self.get(key)
+            n, bs = idx_m.shape
+            if add_eeg:
+                partner_m = rng.integers(0, n_subs, (n, bs))
+            else:
+                partner_m = subs_m
+            n_pad = _bucket(max(n, 1), self.subs_bucket)
+            valid = np.zeros(n_pad, dtype=bool)
+            valid[:n] = True
+
+            def pad_rows(m):
+                m = np.asarray(m, np.int32)
+                if n_pad > n:
+                    m = np.concatenate(
+                        [m, np.broadcast_to(m[:1], (n_pad - n, bs))], axis=0
+                    )
+                return m
+
+            yield (
+                eeg_d,
+                speech_d,
+                ids_d,
+                pad_rows(idx_m),
+                pad_rows(subs_m),
+                pad_rows(partner_m),
+                valid,
+                n,
+            )
+
+
 def gather_batch(
     eeg_chunk: Array,
     speech_chunk: Array,

@@ -197,6 +197,66 @@ def make_chunk_train_step(
     )
 
 
+def make_chunk_scan_step(
+    model_arch: str,
+    augmentations: Sequence[str] = (),
+    augmentation_probability: float = 0.5,
+    add_eeg: bool = False,
+    donate: bool = True,
+    compute_dtype=None,
+) -> Callable:
+    """All of a story chunk's batches in ONE dispatch: ``lax.scan`` over the
+    per-subject batch list with in-jit gathers.
+
+    One chunk serves ``n_subs`` batches (up to ~80 on SparrKULee), so the
+    per-batch path pays ``n_subs`` dispatch round-trips per chunk; this step
+    pays one.  Rows of the index matrices may be padding (when ``n_subs`` is
+    bucketed for shape reuse): ``valid[i] == 0`` runs the step but keeps the
+    pre-step state, so padded rows never perturb training.
+
+    Returns ``step(state, eeg_chunk, speech_chunk, ids_chunk, idx_mat
+    [n, bs], subs_mat [n, bs], partner_mat [n, bs], valid [n], rng, warmup)
+    -> (state, losses stacked [n])``.
+    """
+    from transformer_clip_eeg_tpu.train.device_data import gather_batch
+
+    base = make_train_step(
+        model_arch,
+        augmentations,
+        augmentation_probability,
+        add_eeg,
+        donate=False,
+        compute_dtype=compute_dtype,
+    )
+
+    def scan_step(
+        state, eeg_chunk, speech_chunk, ids_chunk, idx_mat, subs_mat,
+        partner_mat, valid, rng, warmup: bool,
+    ):
+        def body(st, inp):
+            idx, subs, partner, v = inp
+            batch = gather_batch(
+                eeg_chunk, speech_chunk, ids_chunk, idx, subs,
+                add_eeg=add_eeg, partner=partner,
+            )
+            new_st, losses = base(st, batch, rng, warmup=warmup)
+            st = jax.tree.map(
+                lambda a, b: jnp.where(v, a, b), new_st, st
+            )
+            return st, losses
+
+        state, losses = jax.lax.scan(
+            body, state, (idx_mat, subs_mat, partner_mat, valid)
+        )
+        return state, losses
+
+    return jax.jit(
+        scan_step,
+        static_argnames=("warmup",),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def make_eval_step(
     model_arch: str,
     update_membank: bool = True,

@@ -152,3 +152,22 @@ def test_reference_flag_parity():
     ours = {f.name for f in dataclasses.fields(TrainConfig)}
     missing = ref_flags - ours
     assert not missing, f"reference flags without a TrainConfig field: {missing}"
+
+
+def test_early_stop_restores_usable_state(fixture_root, tmp_path):
+    """Early stopping must restore a *live* best state: the training and
+    validation steps donate the state's buffers, so the best-state snapshot
+    must be a deep copy (an aliasing snapshot raises 'Array has been
+    deleted' when the post-training evals touch it)."""
+    cfg = small_config(
+        fixture_root, epochs=10, patience=1, learning_rate=5.0
+    )
+    train_ds, val_ds = make_datasets(cfg)
+    trainer = Trainer(
+        cfg, train_ds, val_ds, results_dir=str(tmp_path / "earlystop")
+    )
+    out = trainer.fit()
+    assert out["best_epoch"] < cfg.epochs - 1  # actually early-stopped
+    # touching every leaf of the restored state must not raise
+    for leaf in jax.tree.leaves(trainer.state.variables):
+        np.asarray(leaf)

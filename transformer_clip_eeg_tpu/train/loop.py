@@ -218,7 +218,7 @@ class Trainer:
             cfg.addEEG_b,
             compute_dtype=compute_dtype,
         )
-        self.eval_step = make_eval_step(cfg.model_arch)
+        self.eval_step = make_eval_step(cfg.model_arch, donate=True)
 
         # device-resident chunk path (train/device_data.py)
         if cfg.data_mode == "device":
@@ -335,7 +335,10 @@ class Trainer:
         self._train_rng = jax.random.PRNGKey(cfg.seed + 1)
         best_loss = float("inf")
         best_epoch = 0
-        best_state = self.state
+        # deep copy (ref keeps a CPU best_state_dict, :463-468): the live
+        # state's buffers are donated into every train/eval step, so an
+        # aliasing snapshot would be deleted by the next step
+        best_state = jax.tree.map(jnp.copy, self.state)
         history: List[Dict[str, float]] = []
 
         for epoch in range(cfg.epochs):
@@ -410,7 +413,7 @@ class Trainer:
                 ckpt_lib.save_checkpoint(self.checkpoint_dir, self.state)
                 best_loss = val_metrics["loss_ce"]
                 best_epoch = epoch
-                best_state = self.state
+                best_state = jax.tree.map(jnp.copy, self.state)
         else:
             self.state = best_state
 

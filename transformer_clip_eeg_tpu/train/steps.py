@@ -262,6 +262,7 @@ def make_eval_step(
     update_membank: bool = True,
     in_shardings=None,
     out_shardings=None,
+    donate: bool = False,
 ) -> Callable:
     """Build the jitted validation step: ``step(state, batch) -> (state, metrics)``.
 
@@ -269,6 +270,11 @@ def make_eval_step(
     memory bank still EMA-updates on every forward (ref clip_model.py:731-745
     — the update is unconditional), so the bank is threaded through here too;
     batch-norm uses running stats and is not updated (eval mode).
+
+    ``donate=True`` donates the state (params alias straight through, only
+    the bank is rewritten) — callers must rebind the returned state.
+    Undonated dispatches measured ~10× slower per step over a
+    high-latency device link.
     """
 
     def eval_step(
@@ -292,6 +298,7 @@ def make_eval_step(
         eval_step,
         in_shardings=in_shardings,
         out_shardings=out_shardings,
+        donate_argnums=(0,) if donate else (),
     )
 
 

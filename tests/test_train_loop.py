@@ -171,3 +171,49 @@ def test_early_stop_restores_usable_state(fixture_root, tmp_path):
     # touching every leaf of the restored state must not raise
     for leaf in jax.tree.leaves(trainer.state.variables):
         np.asarray(leaf)
+
+
+@pytest.mark.parametrize(
+    "arch,eeg_enc,speech_enc",
+    [
+        ("clip_sim", "vlaai", "convLSTM"),
+        ("clip_mp", "conformer", "smallConv"),
+        ("clip_kld", "convLSTMnew", "convLSTM"),
+        ("clip_kld_latent_proj", "lstm", "double_lstm"),
+        ("no_contrastive_learning", "convLSTM", "convLSTM"),
+        ("clip_sim_no_latent_proj", "double_lstm", "double_lstm"),
+    ],
+)
+def test_arch_encoder_dispatch_smoke(fixture_root, tmp_path, arch, eeg_enc,
+                                     speech_enc):
+    """Trainer-level wiring smoke across the arch x encoder dispatch matrix
+    (ref train_clip_final.py:37-130,379-396): one epoch must train to a
+    finite loss and checkpoint for every supported combination."""
+    cfg = small_config(
+        fixture_root, epochs=1, model_arch=arch, eeg_encoder=eeg_enc,
+        speech_encoder=speech_enc,
+    )
+    train_ds, val_ds = make_datasets(cfg)
+    trainer = Trainer(
+        cfg, train_ds, val_ds,
+        results_dir=str(tmp_path / f"{arch}_{eeg_enc}_{speech_enc}"),
+    )
+    out = trainer.fit()
+    assert np.isfinite(out["best_loss"]), (arch, eeg_enc, speech_enc)
+
+
+def test_wav2vec_small_quirk_fails_like_reference(fixture_root, tmp_path):
+    """``Wav2vecSmallModel.get_output_dim`` reports ``window * filters`` but
+    the strided-valid conv outputs ~window/3 steps (ref clip_model.py:177-201)
+    — every sizing-dependent arch crashes on it in the reference (verified:
+    torch raises 'mat1 and mat2 shapes cannot be multiplied'); we must fail
+    the same way, not silently re-size."""
+    cfg = small_config(
+        fixture_root, epochs=1, model_arch="clip_kld",
+        speech_encoder="Wav2vecSmallModel",
+    )
+    train_ds, val_ds = make_datasets(cfg)
+    with pytest.raises(TypeError, match="contracting dimensions"):
+        Trainer(
+            cfg, train_ds, val_ds, results_dir=str(tmp_path / "quirk")
+        ).fit()

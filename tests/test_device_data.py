@@ -114,7 +114,16 @@ def test_chunk_scan_step_matches_per_batch(ds):
     model = trainer.model
     store = DeviceChunkStore(train)
     items = list(store.epoch_chunk_batches(shuffle=False, add_eeg=False))
-    eeg_c, sp_c, ids_c, idx_m, subs_m, partner_m, valid, n = items[0]
+    eeg_c, sp_c, ids_c, idx_m, subs_m, partner_m, n = items[0]
+    # build a padded batch list manually (the Trainer scans only the
+    # bucket-aligned all-valid prefix; padding semantics are the step's)
+    n_pad = n + 3
+    pad = lambda m: np.concatenate(
+        [m, np.broadcast_to(m[:1], (n_pad - n,) + m.shape[1:])]
+    ).astype(np.int32)
+    idx_m, subs_m, partner_m = pad(idx_m), pad(subs_m), pad(partner_m)
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n] = True
 
     b0 = gather_batch(eeg_c, sp_c, ids_c, idx_m[0], subs_m[0])
     tx = make_optimizer("adamw", 1e-3)

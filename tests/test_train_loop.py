@@ -4,6 +4,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -217,3 +218,48 @@ def test_wav2vec_small_quirk_fails_like_reference(fixture_root, tmp_path):
         Trainer(
             cfg, train_ds, val_ds, results_dir=str(tmp_path / "quirk")
         ).fit()
+
+
+def test_fit_without_val_set_keeps_final_state(fixture_root, tmp_path):
+    """With val_dataset=None there is no best-on-val tracking: fit() must
+    keep (and checkpoint) the final trained state, not silently restore the
+    initial copy because 'nan < inf' never updates the best."""
+    cfg = small_config(fixture_root, epochs=2)
+    train_ds, _ = make_datasets(cfg)
+    trainer = Trainer(
+        cfg, train_ds, None, results_dir=str(tmp_path / "noval")
+    )
+    initial = jax.tree.map(jnp.copy, trainer.state.params)
+    out = trainer.fit()
+    # training actually moved the weights
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), initial,
+        trainer.state.params,
+    )
+    assert max(jax.tree.leaves(diffs)) > 1e-6
+    # and a checkpoint of the final state exists
+    import os
+    assert os.path.exists(os.path.join(trainer.checkpoint_dir, "model_ckpt"))
+
+
+def test_restore_incompatible_checkpoint_starts_fresh(fixture_root, tmp_path):
+    """A checkpoint written under a different state layout (e.g. before an
+    optimizer-state change) must fall back to training from scratch, not
+    crash auto-resume (ref train_clip_final.py:443-449 semantics)."""
+    import optax
+
+    from transformer_clip_eeg_tpu.train import checkpoint as ckpt_lib
+    from transformer_clip_eeg_tpu.train.state import TrainState
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    def mk(tx):
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, membank={},
+            batch_stats={}, opt_state=tx.init(params), tx=tx,
+            apply_fn=lambda *a, **k: None,
+        )
+    d = str(tmp_path / "ckpt")
+    ckpt_lib.save_checkpoint(d, mk(optax.adam(1e-3)))
+    # different optimizer → incompatible opt_state tree in the template
+    restored = ckpt_lib.restore_checkpoint(d, mk(optax.sgd(1e-3)))
+    assert restored is None

@@ -11,13 +11,13 @@ state.
 
 The input projection ``x @ W_ih + b`` stays outside (one big MXU matmul over
 all timesteps, see ``ops/lstm.py``); the kernel consumes the precomputed
-gate inputs ``xw [T, D, B, 4H]`` where ``D`` is a *direction* axis: a
-bidirectional layer packs its forward and (time-flipped) reverse recurrences
-into one kernel launch.  The recurrence is latency-bound (192 sequential
-tiny matmuls), so running both directions per grid step instead of two
-separate kernel launches halves the sequential program count.  Each
-direction has its own ``whh``; the batch-tile grid axis is direction-major
-and the index map selects the direction's weight block.
+gate inputs ``xw [T, D, B, 4H]`` where ``D`` packs several *independent
+recurrences* (each with its own ``whh``) into one ``pallas_call`` on a
+direction-major batch-tile grid axis.  NOTE: grid steps execute
+sequentially on a TPU core, so D>1 saves kernel-launch overhead only, not
+sequential recurrence steps — production callers (``ops/lstm.py``) use the
+D=1 wrapper per direction, which measured fastest (see the block-diagonal
+packing note there for the alternative that was tried and rejected).
 
 Backward is textbook BPTT, also time-chunked in reverse: gate activations
 are recomputed from (xw, h_prev) — only ``h`` and ``c`` sequences (the
@@ -245,7 +245,10 @@ def _lstm_fwd(xw, whh, hidden, interpret):
         .reshape(t_real, d, bp, hidden)[:, :, :b_real]
         .astype(xw.dtype)
     )
-    return h_out, (xw32, whh32, h_all, c_all, t_real)
+    # zero-size dtype carriers: plain dtypes are not valid residual leaves
+    dt_x = jnp.zeros((0,), xw.dtype)
+    dt_w = jnp.zeros((0,), whh.dtype)
+    return h_out, (xw32, whh32, h_all, c_all, t_real, dt_x, dt_w)
 
 
 def _lstm_fwd_vjp(xw, whh, hidden, interpret):
@@ -254,7 +257,8 @@ def _lstm_fwd_vjp(xw, whh, hidden, interpret):
 
 
 def _lstm_bwd(hidden, interpret, res, g):
-    xw32, whh32, h_all, c_all, t_real = res
+    xw32, whh32, h_all, c_all, t_real, dt_x, dt_w = res
+    xw_dtype, whh_dtype = dt_x.dtype, dt_w.dtype
     t = h_all.shape[0]
     d = whh32.shape[0]
     bp = h_all.shape[1] // d  # per-direction padded batch
@@ -310,7 +314,9 @@ def _lstm_bwd(hidden, interpret, res, g):
         interpret=interpret,
     )(xw_flat, whh32, h_all, c_all, h_prev, c_prev, g_p)
     dxw = dxw[:t_real].reshape(t_real, d, bp, g4)[:, :, :b_real]
-    return dxw, dwhh
+    # custom_vjp requires cotangents to match the primal avals (dtype too):
+    # bf16 primals must get bf16 cotangents even though BPTT runs in f32
+    return dxw.astype(xw_dtype), dwhh.astype(whh_dtype)
 
 
 lstm_scan_pallas_packed.defvjp(_lstm_fwd_vjp, _lstm_bwd)

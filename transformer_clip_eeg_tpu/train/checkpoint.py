@@ -49,9 +49,19 @@ def restore_checkpoint(
     if not os.path.exists(path):
         return None
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(
-        path, args=ocp.args.PyTreeRestore(_state_payload(state))
-    )
+    try:
+        restored = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(_state_payload(state))
+        )
+    except Exception as e:  # noqa: BLE001 — orbax raises several types here
+        # incompatible checkpoint (e.g. written before an optimizer-state
+        # layout change): the reference's auto-resume would also fail to
+        # load; start fresh instead of crashing mid-run
+        print(
+            f"checkpoint at {path} is incompatible with the current state "
+            f"layout ({type(e).__name__}); training from scratch"
+        )
+        return None
     return state.replace(
         step=restored["step"],
         params=restored["params"],

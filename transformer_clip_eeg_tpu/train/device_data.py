@@ -47,6 +47,13 @@ class DeviceChunkStore:
         max_resident: int = 2,
     ):
         self.dataset = dataset
+        if feature is None and not dataset.features_to_load:
+            raise ValueError(
+                "dataset has no stimulus features — no audio files matched "
+                "the requested stimulus feature (check --stimulus_features "
+                "against the *_-_<feature>.npy files in "
+                "derivatives/preprocessed_stimuli)"
+            )
         self.feature = feature or dataset.features_to_load[0]
         self.subs_bucket = subs_bucket
         self.win_bucket = win_bucket
@@ -88,6 +95,19 @@ class DeviceChunkStore:
             )
         return self._resident[key]
 
+    def _epoch_keys(
+        self, rng: np.random.Generator, shuffle: bool
+    ) -> list:
+        keys = [
+            k
+            for k in self.dataset.batches_keys
+            if "eeg" in self.dataset.chunks[k]
+            and self.feature in self.dataset.chunks[k]
+        ]
+        if shuffle:
+            rng.shuffle(keys)
+        return keys
+
     def epoch_batches(
         self,
         rng: Optional[np.random.Generator] = None,
@@ -102,15 +122,7 @@ class DeviceChunkStore:
         partner subjects (``== subs`` when mixup is off, never touching
         padded rows)."""
         rng = rng or self.dataset.rng
-        keys = [
-            k
-            for k in self.dataset.batches_keys
-            if "eeg" in self.dataset.chunks[k]
-            and self.feature in self.dataset.chunks[k]
-        ]
-        if shuffle:
-            rng.shuffle(keys)
-        for key in keys:
+        for key in self._epoch_keys(rng, shuffle):
             chunk = self.dataset.chunks[key]
             idx_per_batch, subs_per_batch = self.dataset.create_eeg_indices(
                 chunk["eeg"]
@@ -142,19 +154,12 @@ class DeviceChunkStore:
         """Chunk-granular variant of ``epoch_batches`` for the scan step
         (``train/steps.make_chunk_scan_step``): yields ``(eeg_chunk,
         speech_chunk, ids_chunk, idx_mat [n, bs], subs_mat [n, bs],
-        partner_mat [n, bs], valid [n], n_real)`` per chunk, with the batch
-        list padded to the subs bucket (padding rows repeat row 0 and carry
-        ``valid == 0``) so only a handful of shapes ever compile."""
+        partner_mat [n, bs], n)`` per chunk — the exact batch list, no
+        padding.  The caller decides how to split it between the scan step
+        and the per-batch step (the Trainer scans the bucket-aligned prefix
+        and runs the tail per-batch, so no training compute is discarded)."""
         rng = rng or self.dataset.rng
-        keys = [
-            k
-            for k in self.dataset.batches_keys
-            if "eeg" in self.dataset.chunks[k]
-            and self.feature in self.dataset.chunks[k]
-        ]
-        if shuffle:
-            rng.shuffle(keys)
-        for key in keys:
+        for key in self._epoch_keys(rng, shuffle):
             chunk = self.dataset.chunks[key]
             idx_m, subs_m = self.dataset.create_eeg_indices(chunk["eeg"])
             eeg_d, speech_d, ids_d, n_subs, _ = self.get(key)
@@ -163,26 +168,13 @@ class DeviceChunkStore:
                 partner_m = rng.integers(0, n_subs, (n, bs))
             else:
                 partner_m = subs_m
-            n_pad = _bucket(max(n, 1), self.subs_bucket)
-            valid = np.zeros(n_pad, dtype=bool)
-            valid[:n] = True
-
-            def pad_rows(m):
-                m = np.asarray(m, np.int32)
-                if n_pad > n:
-                    m = np.concatenate(
-                        [m, np.broadcast_to(m[:1], (n_pad - n, bs))], axis=0
-                    )
-                return m
-
             yield (
                 eeg_d,
                 speech_d,
                 ids_d,
-                pad_rows(idx_m),
-                pad_rows(subs_m),
-                pad_rows(partner_m),
-                valid,
+                np.asarray(idx_m, np.int32),
+                np.asarray(subs_m, np.int32),
+                np.asarray(partner_m, np.int32),
                 n,
             )
 

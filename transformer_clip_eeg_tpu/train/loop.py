@@ -290,25 +290,36 @@ class Trainer:
         cfg = self.cfg
         rng = self._train_rng
         if self.device_data:
-            # one dispatch per story chunk: scan over its n_subs batches
-            # in-jit. Measured equal to the donated per-batch path on a
-            # local chip; the win is n_subs× fewer dispatches, which keeps
-            # throughput flat on high-latency (remote/tunneled) device links
-            for (eeg_c, sp_c, ids_c, idx_m, subs_m, partner_m, valid, n) in (
+            # one dispatch per story chunk: scan over the bucket-aligned
+            # prefix of its n_subs batches in-jit (all rows real — no
+            # discarded compute), per-batch step for the < bucket tail.
+            # Measured equal to the donated per-batch path on a local chip;
+            # the win is ~n_subs× fewer dispatches, which keeps throughput
+            # flat on high-latency (remote/tunneled) device links
+            sb = self.chunk_store.subs_bucket
+            for (eeg_c, sp_c, ids_c, idx_m, subs_m, partner_m, n) in (
                 self.chunk_store.epoch_chunk_batches(add_eeg=cfg.addEEG_b)
             ):
-                state, losses = self.chunk_scan_step(
-                    self.state, eeg_c, sp_c, ids_c, idx_m, subs_m,
-                    partner_m, valid, rng, warmup=warmup,
-                )
-                self.state = state
-                # per-chunk mean over the n real batches (padded rows
-                # contribute zero weight)
-                w = jnp.asarray(valid, jnp.float32)
-                mean_losses = {
-                    k: jnp.sum(v * w) / n for k, v in losses.items()
-                }
-                yield state, mean_losses, n * idx_m.shape[1]
+                bs = idx_m.shape[1]
+                n_scan = (n // sb) * sb
+                if n_scan:
+                    state, losses = self.chunk_scan_step(
+                        self.state, eeg_c, sp_c, ids_c, idx_m[:n_scan],
+                        subs_m[:n_scan], partner_m[:n_scan],
+                        np.ones(n_scan, dtype=bool), rng, warmup=warmup,
+                    )
+                    self.state = state
+                    mean_losses = {
+                        k: jnp.mean(v) for k, v in losses.items()
+                    }
+                    yield state, mean_losses, n_scan * bs
+                for i in range(n_scan, n):
+                    state, losses = self.chunk_step(
+                        self.state, eeg_c, sp_c, ids_c, idx_m[i],
+                        subs_m[i], partner_m[i], rng, warmup=warmup,
+                    )
+                    self.state = state
+                    yield state, losses, bs
         else:
             for batch in self._device_batches(self.train_dataset, cfg.addEEG_b):
                 state, losses = self.train_step(
@@ -341,9 +352,18 @@ class Trainer:
         best_state = jax.tree.map(jnp.copy, self.state)
         history: List[Dict[str, float]] = []
 
+        # without a validation set there is no best-on-val tracking: keep
+        # the final state instead of silently restoring the initial copy
+        # (val losses come back NaN, and 'nan < inf' never updates best)
+        track_best = self.val_dataset is not None
+
         for epoch in range(cfg.epochs):
             # early stopping (ref :463-468)
-            if epoch > best_epoch + cfg.patience and epoch > cfg.warmup_epochs:
+            if (
+                track_best
+                and epoch > best_epoch + cfg.patience
+                and epoch > cfg.warmup_epochs
+            ):
                 self.state = best_state
                 printf(f"early stopping at epoch {epoch}", self.loss_file)
                 break
@@ -354,9 +374,14 @@ class Trainer:
             t0 = time.time()
             n_batches = 0
             n_pairs = 0
+            next_log = 0
             for item in self._train_batches(warmup):
-                self.state, losses, bs = item
-                if n_batches % 100 == 0:
+                # an item may cover several batches (the chunk-scan path
+                # yields a whole chunk with per-chunk mean losses); log at
+                # every crossing of the 100-batch mark (ref :494-500)
+                self.state, losses, pairs = item
+                if n_batches >= next_log:
+                    next_log = n_batches - (n_batches % 100) + 100
                     if cfg.is_kld:
                         printf(
                             f"train epoch {epoch} batch {n_batches} loss_ce "
@@ -372,8 +397,8 @@ class Trainer:
                             f"{float(losses['loss_avg'])}",
                             self.loss_file,
                         )
-                n_batches += 1
-                n_pairs += bs
+                n_batches += max(pairs // cfg.batch_size, 1)
+                n_pairs += pairs
             jax.block_until_ready(self.state.params)
             epoch_time = time.time() - t0
             if self.profile_dir and epoch == 0:
@@ -415,7 +440,11 @@ class Trainer:
                 best_epoch = epoch
                 best_state = jax.tree.map(jnp.copy, self.state)
         else:
-            self.state = best_state
+            if track_best:
+                self.state = best_state
+            else:
+                # no val set: the final state is the result; checkpoint it
+                ckpt_lib.save_checkpoint(self.checkpoint_dir, self.state)
 
         return {
             "best_loss": best_loss,

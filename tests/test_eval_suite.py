@@ -104,13 +104,13 @@ def test_regression_suite_end_to_end(trained, monkeypatch):
     # keep probe training fast
     import transformer_clip_eeg_tpu.eval.regression as reg
 
-    orig = reg.train_regression_probe
+    orig = reg.train_regression_probes_batched
 
-    def fast_probe(*args, **kw):
+    def fast_probes(*args, **kw):
         kw["epochs"] = 5
         return orig(*args, **kw)
 
-    monkeypatch.setattr(reg, "train_regression_probe", fast_probe)
+    monkeypatch.setattr(reg, "train_regression_probes_batched", fast_probes)
 
     ev_sub = evaluate_model_do_regression_sub_specific(
         model, variables, f["train_f"], f["val_f"], f["test_f"],
@@ -141,6 +141,49 @@ def test_regression_suite_end_to_end(trained, monkeypatch):
     # subjects (sub-9xx), so that dict is empty here
     preds = os.listdir(os.path.join(rd, "regression_2023_icassp"))
     assert any(p.endswith("_predictions.json") for p in preds)
+
+
+def test_batched_probe_training_matches_sequential():
+    """The single-dispatch vmapped probe trainer must reproduce the
+    sequential per-subject procedure (ragged lengths, tail batches,
+    mean-of-batch-means val loss, per-subject early stopping)."""
+    import jax
+
+    from transformer_clip_eeg_tpu.eval.regression import (
+        train_regression_probe,
+        train_regression_probes_batched,
+    )
+
+    rng = np.random.default_rng(3)
+    subjects = ["s1", "s2", "s3"]
+    T, D = 24, 4
+    ns = {"s1": 50, "s2": 64, "s3": 37}  # ragged, incl. exact multiple
+    vns = {"s1": 20, "s2": 10, "s3": 30}
+
+    def mk(n):
+        emb = rng.standard_normal((n, T, D)).astype(np.float32)
+        env = (
+            emb.sum(-1, keepdims=True) * 0.1
+            + 0.05 * rng.standard_normal((n, T, 1))
+        ).astype(np.float32)
+        return emb, env
+
+    train_by = {s: mk(ns[s]) for s in subjects}
+    val_by = {s: mk(vns[s]) for s in subjects}
+
+    batched = train_regression_probes_batched(
+        subjects, train_by, val_by, epochs=25, patience=3
+    )
+    for s in subjects:
+        p_seq, v_seq = train_regression_probe(
+            *train_by[s], *val_by[s], epochs=25, patience=3
+        )
+        p_b, v_b = batched[s]
+        assert v_b == pytest.approx(v_seq, abs=2e-4)
+        for a, b in zip(jax.tree.leaves(p_seq), jax.tree.leaves(p_b)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            )
 
 
 def test_cli_end_to_end(tmp_path):

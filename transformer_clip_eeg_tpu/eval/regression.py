@@ -215,6 +215,193 @@ def train_regression_probe(
     return best_params, best_val
 
 
+def train_regression_probes_batched(
+    subjects: Sequence[str],
+    train_by_sub: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    val_by_sub: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    *,
+    epochs: int = 250,
+    patience: int = 10,
+    batch_size: int = 64,
+    lr: float = 1e-3,
+    seed: int = 0,
+) -> Dict[str, Tuple[Dict, float]]:
+    """Train EVERY subject's probe simultaneously as ONE jitted program.
+
+    The reference trains ~85 per-subject probes sequentially, each a
+    250-epoch python loop of tiny minibatch steps (ref :623-672) — hours of
+    dispatch-bound work.  Here the per-subject loop is ``vmap``-ed over a
+    stacked subject axis and the whole (epochs × minibatches) schedule runs
+    inside one ``lax.while_loop``: a single dispatch trains all probes.
+
+    Semantics match :func:`train_regression_probe` exactly per subject
+    (verified by ``tests/test_eval_suite.py``): ragged subject lengths are
+    end-padded and masked so minibatch boundaries, per-batch loss means, the
+    unweighted mean-of-batch-means validation loss, best-on-val tracking, and
+    per-subject early stopping (no updates after patience is exceeded) are
+    all bit-for-bit the sequential procedure's.
+
+    Returns ``{subject: (params, best_val_loss)}``.
+    """
+    import optax
+
+    S = len(subjects)
+    assert S > 0
+    out_dim = train_by_sub[subjects[0]][1].shape[-1]
+
+    def stack(by_sub):
+        # callers pre-resolve fallbacks: every subject must have an entry
+        pairs = [by_sub[s] for s in subjects]
+        ns = np.array([p[0].shape[0] for p in pairs], np.int32)
+        nmax = int(-(-max(ns) // batch_size) * batch_size)  # pad to multiple
+        emb = np.zeros((S, nmax) + pairs[0][0].shape[1:], np.float32)
+        env = np.zeros((S, nmax) + pairs[0][1].shape[1:], np.float32)
+        for i, (e, v) in enumerate(pairs):
+            emb[i, : e.shape[0]] = e
+            env[i, : v.shape[0]] = v
+        return jnp.asarray(emb), jnp.asarray(env), jnp.asarray(ns)
+
+    tr_emb, tr_env, tr_n = stack(train_by_sub)
+    va_emb, va_env, va_n = stack(val_by_sub)
+    n_tr_batches = tr_emb.shape[1] // batch_size
+    n_va_batches = va_emb.shape[1] // batch_size
+
+    model = RegressionModel(output_dim=out_dim)
+    tx = optax.adam(lr)
+    params0 = model.init(jax.random.PRNGKey(seed), tr_emb[0, :1])
+    params = jax.tree.map(
+        lambda x: jnp.tile(x, (S,) + (1,) * x.ndim), params0
+    )
+    opt_state = jax.vmap(tx.init)(params)
+
+    def batch_pearson(p, emb_b, env_b, row_mask):
+        """Masked per-batch scalar: mean over valid rows, then channels —
+        identical to ``jnp.mean(pearson_loss(...))`` on the unpadded batch."""
+        out = model.apply(p, emb_b)
+        # padded rows are constant over time → zero variance → NaN grads
+        # through x/||x|| (0-cotangent · inf); swap in a harmless ramp
+        # (the rows are masked out of the loss, so values/grads of real
+        # rows are untouched)
+        ramp = jnp.arange(out.shape[1], dtype=out.dtype)[None, :, None]
+        out = jnp.where(row_mask[:, None, None] > 0, out, ramp)
+        xc = out - jnp.mean(out, axis=1, keepdims=True)
+        yc = env_b - jnp.mean(env_b, axis=1, keepdims=True)
+        num = jnp.sum(xc * yc, axis=1)
+        den = jnp.maximum(jnp.linalg.norm(xc, axis=1), 1e-6) * jnp.maximum(
+            jnp.linalg.norm(yc, axis=1), 1e-6
+        )
+        r = num / den  # [bs, C]
+        cnt = jnp.sum(row_mask)
+        return -jnp.sum(r * row_mask[:, None]) / jnp.maximum(
+            cnt * r.shape[1], 1.0
+        )
+
+    def subject_epoch(params, opt_state, emb, env, n, done):
+        def mb(carry, b):
+            p, o = carry
+            start = b * batch_size
+            emb_b = jax.lax.dynamic_slice_in_dim(emb, start, batch_size, 0)
+            env_b = jax.lax.dynamic_slice_in_dim(env, start, batch_size, 0)
+            row_mask = (
+                start + jnp.arange(batch_size) < n
+            ).astype(jnp.float32)
+            valid = jnp.logical_and(start < n, jnp.logical_not(done))
+            loss, grads = jax.value_and_grad(batch_pearson)(
+                p, emb_b, env_b, row_mask
+            )
+            updates, o_new = tx.update(grads, o)
+            p_new = optax.apply_updates(p, updates)
+            p = jax.tree.map(lambda a, b_: jnp.where(valid, a, b_), p_new, p)
+            o = jax.tree.map(lambda a, b_: jnp.where(valid, a, b_), o_new, o)
+            return (p, o), loss
+
+        (params, opt_state), _ = jax.lax.scan(
+            mb, (params, opt_state), jnp.arange(n_tr_batches)
+        )
+        return params, opt_state
+
+    def subject_val(params, emb, env, n):
+        def vb(_, b):
+            start = b * batch_size
+            emb_b = jax.lax.dynamic_slice_in_dim(emb, start, batch_size, 0)
+            env_b = jax.lax.dynamic_slice_in_dim(env, start, batch_size, 0)
+            row_mask = (
+                start + jnp.arange(batch_size) < n
+            ).astype(jnp.float32)
+            loss = batch_pearson(params, emb_b, env_b, row_mask)
+            return None, (loss, (start < n).astype(jnp.float32))
+
+        _, (losses, valid) = jax.lax.scan(
+            vb, None, jnp.arange(n_va_batches)
+        )
+        # the reference's unweighted mean of per-batch means (np.mean over
+        # the val_losses list, ref :196-201)
+        return jnp.sum(losses * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    v_epoch = jax.vmap(subject_epoch, in_axes=(0, 0, 0, 0, 0, 0))
+    v_val = jax.vmap(subject_val, in_axes=(0, 0, 0, 0))
+
+    @jax.jit
+    def train_all(params, opt_state):
+        best_params = jax.tree.map(jnp.copy, params)
+        init = dict(
+            params=params,
+            opt_state=opt_state,
+            best_params=best_params,
+            best_val=jnp.full((S,), jnp.inf),
+            best_epoch=jnp.zeros((S,), jnp.int32),
+            done=jnp.zeros((S,), bool),
+            epoch=jnp.zeros((), jnp.int32),
+        )
+
+        def cond(c):
+            return jnp.logical_and(
+                c["epoch"] < epochs, jnp.any(jnp.logical_not(c["done"]))
+            )
+
+        def body(c):
+            params, opt_state = v_epoch(
+                c["params"], c["opt_state"], tr_emb, tr_env, tr_n, c["done"]
+            )
+            val = v_val(params, va_emb, va_env, va_n)
+            live = jnp.logical_not(c["done"])
+            improved = jnp.logical_and(val < c["best_val"], live)
+            best_params = jax.tree.map(
+                lambda b, p: jnp.where(
+                    improved.reshape((S,) + (1,) * (p.ndim - 1)), p, b
+                ),
+                c["best_params"],
+                params,
+            )
+            best_val = jnp.where(improved, val, c["best_val"])
+            best_epoch = jnp.where(improved, c["epoch"], c["best_epoch"])
+            # ref :208-214: the patience check is the ELIF of the
+            # improvement check, against the pre-update best_epoch
+            stop = jnp.logical_and(
+                jnp.logical_not(improved),
+                c["epoch"] - c["best_epoch"] > patience,
+            )
+            return dict(
+                params=params,
+                opt_state=opt_state,
+                best_params=best_params,
+                best_val=best_val,
+                best_epoch=best_epoch,
+                done=jnp.logical_or(c["done"], jnp.logical_and(stop, live)),
+                epoch=c["epoch"] + 1,
+            )
+
+        return jax.lax.while_loop(cond, body, init)
+
+    final = train_all(params, opt_state)
+    best_params = jax.device_get(final["best_params"])
+    best_val = np.asarray(final["best_val"])
+    return {
+        s: (jax.tree.map(lambda x, _i=i: x[_i], best_params), float(best_val[i]))
+        for i, s in enumerate(subjects)
+    }
+
+
 def _probe_test_loss(params, emb: np.ndarray, env: np.ndarray) -> float:
     model = RegressionModel(output_dim=env.shape[-1])
     out = model.apply(params, jnp.asarray(emb))
@@ -262,21 +449,29 @@ def evaluate_model_do_regression_sub_specific(
     )
 
     print(f"number of subjects {len(train_by_sub)}")
-    for sub, (tr_emb, tr_env) in train_by_sub.items():
+    subjects = []
+    for sub in train_by_sub:
+        if sub not in test_by_sub:
+            print(f"subject {sub} has no test files")
+            continue
+        subjects.append(sub)
+    if not subjects:
+        return evaluation
+
+    # ONE jitted program trains every subject's probe (the reference loops
+    # subjects on the host, ref :485-672); val falls back to test when a
+    # subject has no val files (ref :489-491)
+    resolved_val = {
+        sub: val_by_sub.get(sub, test_by_sub[sub]) for sub in subjects
+    }
+    trained = train_regression_probes_batched(
+        subjects, train_by_sub, resolved_val
+    )
+
+    for sub in subjects:
         try:
             print(f"subject {sub}")
-            if sub not in test_by_sub:
-                print(f"subject {sub} has no test files")
-                continue
-            # no val → fall back to test (ref :489-491)
-            val_emb, val_env = val_by_sub.get(sub, test_by_sub[sub])
-            probe_params, _ = train_regression_probe(
-                tr_emb,
-                tr_env,
-                val_emb,
-                val_env,
-                loss_file=os.path.join(result_folder, "loss_regression.txt"),
-            )
+            probe_params, _best_val = trained[sub]
             save_params_only(
                 os.path.join(
                     result_folder, "sub_specific", f"regression_model_{sub}"
@@ -357,12 +552,17 @@ def evaluate_model_do_regression_sub_independent(
         else:
             val_emb = np.concatenate([e for e, _ in test_by_sub.values()], axis=0)
             val_env = np.concatenate([v for _, v in test_by_sub.values()], axis=0)
-        probe_params, _ = train_regression_probe(
-            tr_emb,
-            tr_env,
-            val_emb,
-            val_env,
-            loss_file=os.path.join(
+        # same single-dispatch trainer, S=1 (the sequential loop would pay
+        # ~n/64 dispatch round-trips per epoch over the device link)
+        trained = train_regression_probes_batched(
+            ["general"],
+            {"general": (tr_emb, tr_env)},
+            {"general": (val_emb, val_env)},
+        )
+        probe_params, best_val = trained["general"]
+        printf(
+            f"general probe best val loss {best_val}",
+            os.path.join(
                 result_folder, f"loss_regression_general_{regress_to}.txt"
             ),
         )

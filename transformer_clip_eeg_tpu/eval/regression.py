@@ -341,8 +341,13 @@ def train_regression_probes_batched(
     v_epoch = jax.vmap(subject_epoch, in_axes=(0, 0, 0, 0, 0, 0))
     v_val = jax.vmap(subject_val, in_axes=(0, 0, 0, 0))
 
+    # the data tensors MUST be traced arguments, not closure captures — a
+    # closed-over jnp array is baked into the jitted program as a constant,
+    # making compile time (and executable size) scale with the dataset
+    # (~0.5 GB of embeddings at SparrKULee scale)
     @jax.jit
-    def train_all(params, opt_state):
+    def train_all(params, opt_state, tr_emb, tr_env, tr_n, va_emb, va_env,
+                  va_n):
         best_params = jax.tree.map(jnp.copy, params)
         init = dict(
             params=params,
@@ -393,7 +398,9 @@ def train_regression_probes_batched(
 
         return jax.lax.while_loop(cond, body, init)
 
-    final = train_all(params, opt_state)
+    final = train_all(
+        params, opt_state, tr_emb, tr_env, tr_n, va_emb, va_env, va_n
+    )
     best_params = jax.device_get(final["best_params"])
     best_val = np.asarray(final["best_val"])
     return {

@@ -166,12 +166,16 @@ def _attn_probs(q, k, mh, scale):
     return es / jnp.sum(es, axis=-1, keepdims=True)
 
 
-def _forward_core(x, params, masks, num_heads, scale):
+def _forward_core(x, params, masks, num_heads, scale, probs_scr=None):
     """Block forward; returns (out, residuals).
 
-    Attention probabilities are NOT kept as residuals — with 8 heads of
-    [TB, T, T] each they would blow the VMEM budget in the backward kernel;
-    the backward recomputes them head-by-head instead."""
+    Attention probabilities are not returned as residuals between the
+    forward and backward *kernels* (8 heads of [B, T, T] in HBM per block
+    would cost more bandwidth than the recompute).  Within the backward
+    kernel, though, they are computed once here and — when ``probs_scr``
+    (a VMEM scratch [H·TB, T, T]) is passed — stashed per head so the
+    gradient head-loop reads them back instead of redoing the score matmul
+    and softmax a second time."""
     (g1, be1, wq, wk, wv, bq, bk, bv, wo, bo,
      g2, be2, w1, bb1, w2, bb2) = params
     tb, t, e = x.shape
@@ -192,6 +196,8 @@ def _forward_core(x, params, masks, num_heads, scale):
     def head_body(hh, ctx):
         mh = _head_mask(e, h, hh)
         p = _attn_probs(q, k, mh, scale)
+        if probs_scr is not None:
+            probs_scr[pl.ds(hh * tb, tb), :, :] = p
         if masks and masks["drop_p"] > 0.0:
             p = p * _dropout_mask(
                 masks["seed_base"], hh, (tb, t, t), masks["drop_p"],
@@ -255,7 +261,8 @@ def _bwd_kernel(seed_ref, x_ref, *refs,
     param_refs = refs[:N_PARAMS]
     g_ref = refs[N_PARAMS]
     dx_ref = refs[N_PARAMS + 1]
-    dparam_refs = refs[N_PARAMS + 2:]
+    dparam_refs = refs[N_PARAMS + 2:N_PARAMS + 2 + N_PARAMS]
+    probs_scr = refs[N_PARAMS + 2 + N_PARAMS]
     i = pl.program_id(0)
 
     x = x_ref[:].astype(jnp.float32)
@@ -267,7 +274,7 @@ def _bwd_kernel(seed_ref, x_ref, *refs,
 
     seed_base = (seed_ref[0] + i) * np.int32(8191)  # identical to forward
     masks = _mask_cfg(seed_base, h, drop_p, ffn_drop_p, training, use_prng)
-    _, res = _forward_core(x, params, masks, num_heads, scale)
+    _, res = _forward_core(x, params, masks, num_heads, scale, probs_scr)
     g = g_ref[:].astype(jnp.float32)
 
     # ---- FFN branch:  out = x1 + drop2(W2 · dropf(gelu(W1 · LN2(x1))))
@@ -313,7 +320,7 @@ def _bwd_kernel(seed_ref, x_ref, *refs,
     def bwd_head_body(hh, carry):
         dq3, dk3, dv3 = carry
         mh = _head_mask(e, h, hh)
-        p_clean = _attn_probs(res["q"], res["k"], mh, scale)
+        p_clean = probs_scr[pl.ds(hh * tb, tb), :, :]
         if masks and masks["drop_p"] > 0.0:
             mask_h = _dropout_mask(seed_base, hh, (tb, t, t), drop_p,
                                    masks["use_prng"])
@@ -483,10 +490,18 @@ def _fused_block_bwd(
             grid=(b // tb,),
             in_specs=[x_spec, *param_specs, x_spec],
             out_specs=[x_spec, *dparam_specs],
+            # per-head probability stash: computed once in the in-kernel
+            # recompute, read back by the gradient head-loop (9.4 MB at
+            # TB=8/T=192/H=8 — cheaper than redoing 8 score matmuls
+            # + softmaxes)
+            scratch_shapes=[
+                pltpu.VMEM((num_heads * tb, t, t), jnp.float32),
+            ],
         ),
         out_shape=[jax.ShapeDtypeStruct((b, t, e), x.dtype), *dparam_shapes],
-        # the recompute-everything backward peaks ~17 MB at TB=8; the default
-        # 16 MB scoped limit is conservative for v5e
+        # the recompute-everything backward peaks ~17 MB at TB=8 before the
+        # probability stash; the default 16 MB scoped limit is conservative
+        # for v5e
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

@@ -77,6 +77,25 @@ def _conv_taps(u, w2, t, c, k, cols_scr):
     return acc.reshape(tb, t, c)
 
 
+def _conv_taps_direct(u, w2, t, c, k):
+    """Direct tap-slice convolution: one [TB·T, C] @ [C, C] dot per tap.
+
+    No scratch assembly — each shifted input window is sliced straight out
+    of the padded input and contracted against its tap's [C, C] weight slab.
+    Contractions are only C(=64)-deep (vs the grouped path's 512), but the
+    per-group VPU slice-copies disappear.  ``w2`` is [K·C, C] tap-major,
+    as in the grouped path."""
+    tb = u.shape[0]
+    acc = jnp.zeros((tb * t, c), jnp.float32)
+    for kk in range(k):
+        acc = acc + jnp.dot(
+            u[:, kk: kk + t, :].reshape(tb * t, c),
+            w2[kk * c: (kk + 1) * c],
+            preferred_element_type=jnp.float32,
+        )
+    return acc.reshape(tb, t, c)
+
+
 def _lntc_fwd(x, scale, bias, eps=1e-5):
     """LayerNorm over the joint (T, C) axes per sample, affine [T, C].
 

@@ -1,0 +1,171 @@
+"""Serving path: session load from a results dir, retrieval index, CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from transformer_clip_eeg_tpu.serve import (
+    InferenceSession,
+    RetrievalIndex,
+    match_mismatch_decide,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+T, EEG_C, SP_D = 32, 64, 8
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    """A minimal trained-run directory: args.txt + orbax checkpoint."""
+    import jax
+
+    from transformer_clip_eeg_tpu.serve import build_model_from_config
+    from transformer_clip_eeg_tpu.train.checkpoint import save_checkpoint
+    from transformer_clip_eeg_tpu.train.config import TrainConfig
+    from transformer_clip_eeg_tpu.train.state import (
+        init_train_state,
+        make_optimizer,
+    )
+
+    root = tmp_path_factory.mktemp("run")
+    cfg = TrainConfig(
+        window_length_s=1,
+        fs=T,
+        attention_depth=1,
+        latent_dim=4,
+        lstm_units=8,
+        speech_dim_override=SP_D,
+        batch_size=4,
+    )
+    cfg.save(os.path.join(root, "args.txt"))
+
+    model = build_model_from_config(cfg, bank_size=16)
+    rng = np.random.default_rng(0)
+    eeg = rng.standard_normal((2, T, EEG_C)).astype(np.float32)
+    speech = rng.standard_normal((2, T, SP_D)).astype(np.float32)
+    ids = np.arange(1, 3, dtype=np.int32)
+    tx = make_optimizer("adamw", 1e-3)
+    state = init_train_state(
+        model, jax.random.PRNGKey(0), (eeg, speech, ids), tx
+    )
+    ckpt_dir = os.path.join(root, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_checkpoint(ckpt_dir, state)
+    return str(root), model, state
+
+
+def test_session_from_results_dir_matches_direct(run_dir):
+    root, model, state = run_dir
+    sess = InferenceSession.from_results_dir(root, chunk=4)
+    rng = np.random.default_rng(1)
+    eeg = rng.standard_normal((6, T, EEG_C)).astype(np.float32)
+
+    got = sess.embed_eeg(eeg)
+    assert got.shape[0] == 6
+    # unit-norm embeddings
+    np.testing.assert_allclose(
+        np.linalg.norm(got, axis=1), 1.0, atol=1e-5
+    )
+
+    # identical to embedding with the original (pre-checkpoint) variables
+    from transformer_clip_eeg_tpu.train.steps import make_embed_fns
+
+    embed_eeg, _ = make_embed_fns(model)
+    want = np.asarray(
+        embed_eeg({"params": state.params, "membank": state.membank}, eeg)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_session_speech_and_mvn(run_dir):
+    root, _, _ = run_dir
+    sess = InferenceSession.from_results_dir(root, chunk=4)
+    rng = np.random.default_rng(2)
+    sp = rng.standard_normal((3, T, SP_D)).astype(np.float32)
+    emb = sess.embed_speech(sp)
+    assert emb.shape[0] == 3
+
+    eeg = rng.standard_normal((5, T, EEG_C)).astype(np.float32) * 3 + 1
+    raw = sess.embed_eeg(eeg, normalize=False)
+    mvn = sess.embed_eeg(eeg, normalize=True)
+    # MVN must match embedding the explicitly-normalized input
+    norm = (eeg - eeg.mean(axis=(0, 1), keepdims=True)) / eeg.std(
+        axis=(0, 1), keepdims=True
+    )
+    np.testing.assert_allclose(
+        mvn, sess.embed_eeg(norm, normalize=False), atol=1e-5, rtol=1e-5
+    )
+    assert not np.allclose(raw, mvn)
+
+
+def test_retrieval_index_topk_exact():
+    rng = np.random.default_rng(3)
+    bank = rng.standard_normal((20, 6)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    q = rng.standard_normal((4, 6)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    idx = RetrievalIndex.from_embeddings(bank, capacity=32)
+    scores, ids = idx.topk(q, k=5)
+
+    sims = q @ bank.T
+    want_ids = np.argsort(-sims, axis=1)[:, :5]
+    np.testing.assert_array_equal(ids, want_ids)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(sims, want_ids, 1), atol=1e-5
+    )
+
+    # growing the bank after construction keeps shapes static but extends
+    # the candidate set
+    extra = rng.standard_normal((4, 6)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    new_ids = idx.add(extra)
+    assert list(new_ids) == [20, 21, 22, 23]
+    _, ids2 = idx.topk(q, k=24)
+    assert ids2.shape == (4, 24)
+
+    with pytest.raises(ValueError):
+        idx.add(np.zeros((100, 6), np.float32))
+
+
+def test_match_mismatch_decide():
+    e = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    a = np.array([[1.0, 0.0], [1.0, 0.0]], np.float32)
+    b = np.array([[0.0, 1.0], [0.0, 1.0]], np.float32)
+    np.testing.assert_array_equal(match_mismatch_decide(e, a, b), [0, 1])
+
+
+def test_cli_embed_and_retrieve(run_dir, tmp_path):
+    root, _, _ = run_dir
+    rng = np.random.default_rng(4)
+    eeg_path = os.path.join(tmp_path, "eeg.npy")
+    cand_path = os.path.join(tmp_path, "cand.npy")
+    np.save(eeg_path, rng.standard_normal((3, T, EEG_C)).astype(np.float32))
+    np.save(cand_path, rng.standard_normal((7, T, SP_D)).astype(np.float32))
+
+    out_emb = os.path.join(tmp_path, "emb.npy")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "transformer_clip_eeg_tpu.serve",
+         "--results_folder", root, "--eeg", eeg_path, "--out", out_emb],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert np.load(out_emb).shape[0] == 3
+
+    out_json = os.path.join(tmp_path, "ret.json")
+    r = subprocess.run(
+        [sys.executable, "-m", "transformer_clip_eeg_tpu.serve",
+         "--results_folder", root, "--eeg", eeg_path,
+         "--candidates", cand_path, "--topk", "3", "--out", out_json],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = json.load(open(out_json))
+    assert len(got["indices"]) == 3
+    assert len(got["indices"][0]) == 3

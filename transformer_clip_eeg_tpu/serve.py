@@ -1,0 +1,296 @@
+"""Deployment/serving path: load a trained run and serve embeddings + retrieval.
+
+The reference has no serving story — after training, using the model means
+re-running the evaluation script end to end (ref ``train_clip_final.py:
+558-601``).  This module packages the deployment workflow as a library (and
+``python -m transformer_clip_eeg_tpu.serve`` CLI):
+
+* :class:`InferenceSession` — rebuild the flagship model from a results
+  directory (``args.txt`` + orbax checkpoint, no dataset required), compile
+  the two embedders once, and stream EEG/speech windows through them in
+  fixed-size padded chunks (one compile total per stream).
+* :class:`RetrievalIndex` — a device-resident L2-normalized candidate bank;
+  top-k retrieval is one ``[Q, D] @ [D, N]`` matmul + ``lax.top_k`` per
+  query batch (the pattern of the challenge eval's top-X accuracy, ref
+  ``train_clip_helper_functions.py:176-202``, turned into an online API).
+* :func:`match_mismatch_decide` — the 2-candidate decision rule of the
+  ICASSP task (argmax of diagonal similarities, ref ``:159-164``).
+
+TPU-first notes: everything after host ingest is jitted; chunked embedding
+keeps shapes static so nothing recompiles while serving; the index stores a
+padded capacity so ``add`` never triggers recompilation of ``topk``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def build_model_from_config(cfg, bank_size: int):
+    """Assemble the model exactly as the Trainer does (train/loop.py), from a
+    ``TrainConfig`` alone — serving must not need the training dataset."""
+    from transformer_clip_eeg_tpu.models.registry import (
+        build_model,
+        load_eeg_encoder,
+        load_speech_encoder,
+    )
+
+    eeg_enc = load_eeg_encoder(
+        cfg.eeg_encoder,
+        cfg.lstm_units,
+        cfg.spatial_filters,
+        cfg.number_conv_layers,
+        cfg.window_length,
+        cfg.latent_dim,
+        cfg.attention_depth,
+    )
+    speech_enc = load_speech_encoder(
+        cfg.speech_encoder,
+        cfg.lstm_units,
+        cfg.spatial_filters,
+        cfg.number_conv_layers,
+        cfg.window_length,
+        cfg.stride_temporal,
+        cfg.speech_dimension,
+        cfg.latent_dim,
+    )
+    return build_model(
+        cfg.model_arch,
+        eeg_enc,
+        speech_enc,
+        window_length=cfg.window_length,
+        temperature=cfg.temperature,
+        latent_dim=cfg.latent_dim,
+        bank_size=bank_size,
+        lambda_clip_loss=cfg.lambda_clip_loss,
+        lambda_sim_loss=cfg.lambda_sim_loss,
+        momentum_membank=cfg.momentum_membank,
+    )
+
+
+class InferenceSession:
+    """A loaded model + compiled embedders, ready to serve.
+
+    ``chunk`` is the fixed serving batch: inputs of any length are padded to
+    a multiple of it, so each embedder compiles exactly once.
+    """
+
+    def __init__(self, model, variables, chunk: int = 128):
+        from transformer_clip_eeg_tpu.train.steps import make_embed_fns
+
+        self.model = model
+        self.variables = variables
+        self.chunk = chunk
+        self._embed_eeg, self._embed_speech = make_embed_fns(model)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_results_dir(
+        cls, results_dir: str, chunk: int = 128
+    ) -> "InferenceSession":
+        """Load ``args.txt`` + ``checkpoints/model_ckpt`` from a training run.
+
+        The memory-bank size (training-data dependent) is inferred from the
+        checkpointed bank itself, so no dataset access is needed.
+        """
+        from transformer_clip_eeg_tpu.train.checkpoint import (
+            CKPT_NAME,
+            restore_params_only,
+        )
+        from transformer_clip_eeg_tpu.train.config import TrainConfig
+
+        cfg = TrainConfig.load(os.path.join(results_dir, "args.txt"))
+        ckpt_path = os.path.join(results_dir, "checkpoints", CKPT_NAME)
+        if not os.path.exists(ckpt_path):
+            raise FileNotFoundError(f"no checkpoint at {ckpt_path}")
+        payload = restore_params_only(ckpt_path)
+
+        membank = payload.get("membank") or {}
+        bank_leaves = jax.tree.leaves(membank)  # nested by module path
+        bank_size = (
+            int(bank_leaves[0].shape[0]) - 1 if bank_leaves else 1
+        )
+        model = build_model_from_config(cfg, bank_size)
+
+        variables = {"params": payload["params"]}
+        for coll in ("membank", "batch_stats"):
+            if payload.get(coll):
+                variables[coll] = payload[coll]
+        return cls(model, variables, chunk=chunk)
+
+    # -- embedding ----------------------------------------------------------
+
+    def embed_eeg(self, windows: np.ndarray, normalize: bool = False):
+        """``[N, T, 64]`` EEG windows → ``[N, D]`` L2-normalized embeddings.
+
+        ``normalize=True`` applies the eval-time MVN contract over the
+        (segments, time) axes first (ref train_clip_helper_functions.py:136).
+        """
+        from transformer_clip_eeg_tpu.eval.match_mismatch import (
+            embed_in_chunks,
+        )
+
+        windows = np.asarray(windows, np.float32)
+        if normalize:
+            mu = windows.mean(axis=(0, 1), keepdims=True)
+            sd = windows.std(axis=(0, 1), keepdims=True)
+            windows = (windows - mu) / np.where(sd == 0, 1.0, sd)
+        return embed_in_chunks(
+            self._embed_eeg, self.variables, windows, self.chunk
+        )
+
+    def embed_speech(self, windows: np.ndarray):
+        """``[N, T, F]`` speech-feature windows → ``[N, D]`` embeddings."""
+        from transformer_clip_eeg_tpu.eval.match_mismatch import (
+            embed_in_chunks,
+        )
+
+        return embed_in_chunks(
+            self._embed_speech,
+            self.variables,
+            np.asarray(windows, np.float32),
+            self.chunk,
+        )
+
+
+class RetrievalIndex:
+    """Device-resident L2-normalized candidate bank with one-matmul top-k.
+
+    ``capacity`` rows are allocated up front (empty rows masked with -inf
+    scores) so that growing the bank via :meth:`add` never changes shapes —
+    the compiled ``topk`` stays valid for the life of the index.
+    """
+
+    def __init__(self, dim: int, capacity: int = 1024):
+        self.capacity = int(capacity)
+        self.dim = int(dim)
+        self._bank = jnp.zeros((self.capacity, self.dim), jnp.float32)
+        self.size = 0
+
+        @jax.jit
+        def _topk_scores(bank, queries, size):
+            sims = queries @ bank.T  # [Q, capacity]
+            mask = jnp.arange(bank.shape[0])[None, :] < size
+            return jnp.where(mask, sims, -jnp.inf)
+
+        self._topk_scores = _topk_scores
+
+    @classmethod
+    def from_embeddings(cls, embeddings: np.ndarray, capacity: Optional[int] = None):
+        emb = np.asarray(embeddings, np.float32)
+        idx = cls(emb.shape[1], capacity or max(1, emb.shape[0]))
+        idx.add(emb)
+        return idx
+
+    def add(self, embeddings: np.ndarray) -> np.ndarray:
+        """Append rows (assumed L2-normalized, as the embedders produce);
+        returns their assigned indices."""
+        emb = jnp.asarray(embeddings, jnp.float32)
+        n = emb.shape[0]
+        if self.size + n > self.capacity:
+            raise ValueError(
+                f"index full: size={self.size}, adding {n}, "
+                f"capacity={self.capacity}"
+            )
+        self._bank = jax.lax.dynamic_update_slice_in_dim(
+            self._bank, emb, self.size, 0
+        )
+        ids = np.arange(self.size, self.size + n)
+        self.size += n
+        return ids
+
+    def topk(self, queries: np.ndarray, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
+        """``[Q, D]`` queries → (scores ``[Q, k]``, indices ``[Q, k]``)."""
+        if self.size == 0:
+            raise ValueError("index is empty")
+        k = min(k, self.size)
+        scores = self._topk_scores(
+            self._bank, jnp.asarray(queries, jnp.float32),
+            jnp.int32(self.size),
+        )
+        s, i = jax.lax.top_k(scores, k)
+        return np.asarray(s), np.asarray(i)
+
+
+def match_mismatch_decide(
+    eeg_emb: np.ndarray, cand_a: np.ndarray, cand_b: np.ndarray
+) -> np.ndarray:
+    """2-candidate decision per trial: 0 if candidate A matches, else 1
+    (argmax over diagonal similarities, ref
+    train_clip_helper_functions.py:153-164)."""
+    sim_a = np.sum(eeg_emb * cand_a, axis=1)
+    sim_b = np.sum(eeg_emb * cand_b, axis=1)
+    return (sim_b > sim_a).astype(np.int32)
+
+
+def main(argv=None) -> int:
+    """Batch serving CLI: embed ``.npy`` EEG/speech windows with a trained
+    run; optionally retrieve top-k candidates for each EEG window.
+
+    Examples::
+
+        python -m transformer_clip_eeg_tpu.serve \\
+            --results_folder results/run_x --eeg windows.npy --out emb.npy
+        python -m transformer_clip_eeg_tpu.serve \\
+            --results_folder results/run_x --eeg windows.npy \\
+            --candidates stim_windows.npy --topk 5 --out retrieval.json
+    """
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--results_folder", required=True,
+                    help="training run directory (args.txt + checkpoints/)")
+    ap.add_argument("--eeg", help=".npy of [N, T, 64] EEG windows")
+    ap.add_argument("--speech", help=".npy of [N, T, F] speech windows")
+    ap.add_argument("--candidates",
+                    help=".npy of [M, T, F] candidate speech windows")
+    ap.add_argument("--topk", type=int, default=0)
+    ap.add_argument("--mvn", action="store_true",
+                    help="apply eval-time MVN normalization to the EEG")
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+
+    sess = InferenceSession.from_results_dir(
+        args.results_folder, chunk=args.chunk
+    )
+
+    if args.topk and args.eeg and args.candidates:
+        eeg_emb = sess.embed_eeg(np.load(args.eeg), normalize=args.mvn)
+        cand_emb = sess.embed_speech(np.load(args.candidates))
+        index = RetrievalIndex.from_embeddings(cand_emb)
+        scores, ids = index.topk(eeg_emb, args.topk)
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "indices": ids.tolist(),
+                    "scores": [[float(x) for x in row] for row in scores],
+                },
+                f,
+            )
+        print(f"wrote top-{args.topk} retrieval for {len(ids)} queries "
+              f"to {args.out}")
+        return 0
+
+    if args.eeg:
+        emb = sess.embed_eeg(np.load(args.eeg), normalize=args.mvn)
+    elif args.speech:
+        emb = sess.embed_speech(np.load(args.speech))
+    else:
+        ap.error("one of --eeg / --speech is required")
+        return 2
+    np.save(args.out, emb)
+    print(f"wrote {emb.shape} embeddings to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -140,6 +140,50 @@ def test_match_mismatch_decide():
     np.testing.assert_array_equal(match_mismatch_decide(e, a, b), [0, 1])
 
 
+@pytest.mark.parametrize(
+    "arch",
+    [
+        # the registry's dispatchable archs (ref train_clip_final.py:379-396;
+        # the plain CLIP class exists but is not CLI-dispatchable there either)
+        "clip_sim",
+        "clip_sim_no_latent_proj",
+        "clip_mp",
+        "clip_kld",
+        "no_contrastive_learning",
+    ],
+)
+def test_session_embeds_for_every_arch(arch):
+    """Every head the registry dispatches exposes working embedders."""
+    import jax
+
+    from transformer_clip_eeg_tpu.serve import build_model_from_config
+    from transformer_clip_eeg_tpu.train.config import TrainConfig
+
+    cfg = TrainConfig(
+        model_arch=arch,
+        window_length_s=1,
+        fs=T,
+        attention_depth=1,
+        latent_dim=4,
+        lstm_units=8,
+        speech_dim_override=SP_D,
+        batch_size=4,
+    )
+    model = build_model_from_config(cfg, bank_size=8)
+    rng = np.random.default_rng(0)
+    eeg = rng.standard_normal((2, T, EEG_C)).astype(np.float32)
+    speech = rng.standard_normal((2, T, SP_D)).astype(np.float32)
+    ids = np.arange(1, 3, dtype=np.int32)
+    variables = model.init(jax.random.PRNGKey(0), eeg, speech, ids)
+
+    sess = InferenceSession(model, variables, chunk=2)
+    e = sess.embed_eeg(eeg)
+    s = sess.embed_speech(speech)
+    assert e.shape[0] == 2 and s.shape[0] == 2
+    assert np.all(np.isfinite(e)) and np.all(np.isfinite(s))
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, atol=1e-5)
+
+
 def test_cli_embed_and_retrieve(run_dir, tmp_path):
     root, _, _ = run_dir
     rng = np.random.default_rng(4)

@@ -22,6 +22,7 @@ train     train state, optimizers/schedulers, jitted train step, driver loop
 eval      match-mismatch + regression evaluation suites
 parallel  mesh construction and sharding helpers
 utils     logging, config, torch-checkpoint import
+serve     deployment: run loading, streaming embedders, top-k retrieval
 """
 
 __version__ = "0.1.0"

@@ -192,23 +192,30 @@ def test_cli_embed_and_retrieve(run_dir, tmp_path):
     np.save(eeg_path, rng.standard_normal((3, T, EEG_C)).astype(np.float32))
     np.save(cand_path, rng.standard_normal((7, T, SP_D)).astype(np.float32))
 
+    def run_cli(*cli_args):
+        # env JAX_PLATFORMS=cpu alone is NOT enough on hosts whose
+        # sitecustomize prepends an accelerator platform (config becomes
+        # "axon,cpu" and the accelerator wins) — force the config like the
+        # other subprocess e2e tests do
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; from transformer_clip_eeg_tpu.serve import main; "
+            f"sys.exit(main({list(cli_args)!r}))"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        return subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+
     out_emb = os.path.join(tmp_path, "emb.npy")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    r = subprocess.run(
-        [sys.executable, "-m", "transformer_clip_eeg_tpu.serve",
-         "--results_folder", root, "--eeg", eeg_path, "--out", out_emb],
-        capture_output=True, text=True, env=env, cwd=REPO,
-    )
+    r = run_cli("--results_folder", root, "--eeg", eeg_path, "--out", out_emb)
     assert r.returncode == 0, r.stderr[-2000:]
     assert np.load(out_emb).shape[0] == 3
 
     out_json = os.path.join(tmp_path, "ret.json")
-    r = subprocess.run(
-        [sys.executable, "-m", "transformer_clip_eeg_tpu.serve",
-         "--results_folder", root, "--eeg", eeg_path,
-         "--candidates", cand_path, "--topk", "3", "--out", out_json],
-        capture_output=True, text=True, env=env, cwd=REPO,
-    )
+    r = run_cli("--results_folder", root, "--eeg", eeg_path,
+                "--candidates", cand_path, "--topk", "3", "--out", out_json)
     assert r.returncode == 0, r.stderr[-2000:]
     got = json.load(open(out_json))
     assert len(got["indices"]) == 3

@@ -144,6 +144,11 @@ def find_icassp_folder(data_dir: str, task: str) -> Optional[str]:
 
 
 def main(argv=None) -> int:
+    from transformer_clip_eeg_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
     from transformer_clip_eeg_tpu.data.dataset import EEGWindowDataset
     from transformer_clip_eeg_tpu.data.discovery import (
         get_train_val_test_files_final,

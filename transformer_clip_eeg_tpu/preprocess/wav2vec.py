@@ -214,6 +214,11 @@ def main(argv=None) -> int:
     from the hub; ref create_wav2vec.py:14,22-23)."""
     import argparse
 
+    from transformer_clip_eeg_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
     p = argparse.ArgumentParser()
     p.add_argument("--dataset_root", type=str, required=True)
     p.add_argument("--model_path", type=str, required=True,

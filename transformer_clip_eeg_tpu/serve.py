@@ -245,6 +245,11 @@ def main(argv=None) -> int:
             --results_folder results/run_x --eeg windows.npy \\
             --candidates stim_windows.npy --topk 5 --out retrieval.json
     """
+    from transformer_clip_eeg_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(description=main.__doc__)
     ap.add_argument("--results_folder", required=True,
                     help="training run directory (args.txt + checkpoints/)")

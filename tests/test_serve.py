@@ -133,6 +133,53 @@ def test_retrieval_index_topk_exact():
         idx.add(np.zeros((100, 6), np.float32))
 
 
+def test_sharded_session_matches_single_device(run_dir):
+    """Batch-sharded embedding over the 8-device CPU mesh is numerically
+    identical to single-device serving."""
+    from transformer_clip_eeg_tpu.parallel.mesh import make_mesh
+
+    root, _, _ = run_dir
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    plain = InferenceSession.from_results_dir(root, chunk=8)
+    sharded = InferenceSession.from_results_dir(root, chunk=8, mesh=mesh)
+
+    rng = np.random.default_rng(7)
+    eeg = rng.standard_normal((11, T, EEG_C)).astype(np.float32)
+    np.testing.assert_allclose(
+        sharded.embed_eeg(eeg), plain.embed_eeg(eeg), atol=1e-6, rtol=1e-6
+    )
+
+    with pytest.raises(ValueError):
+        InferenceSession.from_results_dir(root, chunk=6, mesh=mesh)
+
+
+def test_sharded_index_matches_single_device():
+    from transformer_clip_eeg_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(8)
+    bank = rng.standard_normal((21, 6)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    q = rng.standard_normal((3, 6)).astype(np.float32)
+
+    plain = RetrievalIndex.from_embeddings(bank, capacity=24)
+    sharded = RetrievalIndex.from_embeddings(bank, capacity=21, mesh=mesh)
+    assert sharded.capacity == 24  # rounded up to a multiple of 8
+
+    s0, i0 = plain.topk(q, k=4)
+    s1, i1 = sharded.topk(q, k=4)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, atol=1e-6)
+
+    extra = rng.standard_normal((2, 6)).astype(np.float32)
+    plain.add(extra)
+    sharded.add(extra)
+    s0, i0 = plain.topk(q, k=23)
+    s1, i1 = sharded.topk(q, k=23)
+    np.testing.assert_array_equal(i0, i1)
+
+
 def test_match_mismatch_decide():
     e = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
     a = np.array([[1.0, 0.0], [1.0, 0.0]], np.float32)

@@ -24,6 +24,7 @@ padded capacity so ``add`` never triggers recompilation of ``topk``.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 from typing import Optional, Tuple
@@ -82,21 +83,44 @@ class InferenceSession:
 
     ``chunk`` is the fixed serving batch: inputs of any length are padded to
     a multiple of it, so each embedder compiles exactly once.
+
+    ``mesh`` (optional): a ``('data', 'model')`` device mesh — each chunk is
+    then sharded over the 'data' axis with the weights replicated, so
+    embedding throughput scales over ICI with zero communication (the
+    encoders are batch-parallel; results are numerically identical to
+    single-device, verified in tests).  ``chunk`` must divide by the data
+    axis size.
     """
 
-    def __init__(self, model, variables, chunk: int = 128):
+    def __init__(self, model, variables, chunk: int = 128, mesh=None):
         from transformer_clip_eeg_tpu.train.steps import make_embed_fns
 
         self.model = model
         self.variables = variables
         self.chunk = chunk
-        self._embed_eeg, self._embed_speech = make_embed_fns(model)
+        self.mesh = mesh
+        embed_eeg, embed_speech = make_embed_fns(model)
+        if mesh is not None:
+            from transformer_clip_eeg_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated,
+            )
+
+            if chunk % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"chunk {chunk} must divide by the data axis "
+                    f"({mesh.shape['data']})"
+                )
+            shardings = (replicated(mesh), batch_sharding(mesh))
+            embed_eeg = jax.jit(embed_eeg, in_shardings=shardings)
+            embed_speech = jax.jit(embed_speech, in_shardings=shardings)
+        self._embed_eeg, self._embed_speech = embed_eeg, embed_speech
 
     # -- construction -------------------------------------------------------
 
     @classmethod
     def from_results_dir(
-        cls, results_dir: str, chunk: int = 128
+        cls, results_dir: str, chunk: int = 128, mesh=None
     ) -> "InferenceSession":
         """Load ``args.txt`` + ``checkpoints/model_ckpt`` from a training run.
 
@@ -126,7 +150,7 @@ class InferenceSession:
         for coll in ("membank", "batch_stats"):
             if payload.get(coll):
                 variables[coll] = payload[coll]
-        return cls(model, variables, chunk=chunk)
+        return cls(model, variables, chunk=chunk, mesh=mesh)
 
     # -- embedding ----------------------------------------------------------
 
@@ -169,15 +193,42 @@ class RetrievalIndex:
     ``capacity`` rows are allocated up front (empty rows masked with -inf
     scores) so that growing the bank via :meth:`add` never changes shapes —
     the compiled ``topk`` stays valid for the life of the index.
+
+    ``mesh`` (optional): shard the bank's rows over the 'data' axis.  The
+    similarity matmul then runs candidate-parallel on every device (each
+    holds ``capacity / n_devices`` rows); GSPMD inserts the one gather the
+    global ``top_k`` needs.  Capacity is rounded up to a multiple of the
+    axis size.
     """
 
-    def __init__(self, dim: int, capacity: int = 1024):
-        self.capacity = int(capacity)
+    def __init__(self, dim: int, capacity: int = 1024, mesh=None):
         self.dim = int(dim)
+        self.mesh = mesh
+        if mesh is not None:
+            from transformer_clip_eeg_tpu.parallel.mesh import (
+                DATA_AXIS,
+                replicated,
+            )
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n = mesh.shape[DATA_AXIS]
+            capacity = int(-(-capacity // n) * n)
+            bank_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            self._bank_sharding = bank_sharding
+            jit_kw = dict(
+                in_shardings=(bank_sharding, replicated(mesh),
+                              replicated(mesh)),
+            )
+        else:
+            self._bank_sharding = None
+            jit_kw = {}
+        self.capacity = int(capacity)
         self._bank = jnp.zeros((self.capacity, self.dim), jnp.float32)
+        if self._bank_sharding is not None:
+            self._bank = jax.device_put(self._bank, self._bank_sharding)
         self.size = 0
 
-        @jax.jit
+        @functools.partial(jax.jit, **jit_kw)
         def _topk_scores(bank, queries, size):
             sims = queries @ bank.T  # [Q, capacity]
             mask = jnp.arange(bank.shape[0])[None, :] < size
@@ -186,9 +237,14 @@ class RetrievalIndex:
         self._topk_scores = _topk_scores
 
     @classmethod
-    def from_embeddings(cls, embeddings: np.ndarray, capacity: Optional[int] = None):
+    def from_embeddings(
+        cls,
+        embeddings: np.ndarray,
+        capacity: Optional[int] = None,
+        mesh=None,
+    ):
         emb = np.asarray(embeddings, np.float32)
-        idx = cls(emb.shape[1], capacity or max(1, emb.shape[0]))
+        idx = cls(emb.shape[1], capacity or max(1, emb.shape[0]), mesh=mesh)
         idx.add(emb)
         return idx
 
@@ -205,6 +261,10 @@ class RetrievalIndex:
         self._bank = jax.lax.dynamic_update_slice_in_dim(
             self._bank, emb, self.size, 0
         )
+        if self._bank_sharding is not None:
+            # the eager update may leave the result replicated — pin the
+            # bank back to its row sharding so topk stays candidate-parallel
+            self._bank = jax.device_put(self._bank, self._bank_sharding)
         ids = np.arange(self.size, self.size + n)
         self.size += n
         return ids

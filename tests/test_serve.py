@@ -149,6 +149,11 @@ def test_sharded_session_matches_single_device(run_dir):
     np.testing.assert_allclose(
         sharded.embed_eeg(eeg), plain.embed_eeg(eeg), atol=1e-6, rtol=1e-6
     )
+    speech = rng.standard_normal((11, T, SP_D)).astype(np.float32)
+    np.testing.assert_allclose(
+        sharded.embed_speech(speech), plain.embed_speech(speech),
+        atol=1e-6, rtol=1e-6,
+    )
 
     with pytest.raises(ValueError):
         InferenceSession.from_results_dir(root, chunk=6, mesh=mesh)
@@ -178,6 +183,7 @@ def test_sharded_index_matches_single_device():
     s0, i0 = plain.topk(q, k=23)
     s1, i1 = sharded.topk(q, k=23)
     np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, atol=1e-6)
 
 
 def test_match_mismatch_decide():
@@ -267,3 +273,12 @@ def test_cli_embed_and_retrieve(run_dir, tmp_path):
     got = json.load(open(out_json))
     assert len(got["indices"]) == 3
     assert len(got["indices"][0]) == 3
+
+    # --shard: same retrieval over the virtual 8-device CPU mesh
+    out_shard = os.path.join(tmp_path, "ret_shard.json")
+    r = run_cli("--results_folder", root, "--eeg", eeg_path,
+                "--candidates", cand_path, "--topk", "3", "--chunk", "8",
+                "--shard", "8", "--out", out_shard)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got_shard = json.load(open(out_shard))
+    assert got_shard["indices"] == got["indices"]

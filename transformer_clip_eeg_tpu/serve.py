@@ -96,24 +96,31 @@ class InferenceSession:
         from transformer_clip_eeg_tpu.train.steps import make_embed_fns
 
         self.model = model
-        self.variables = variables
         self.chunk = chunk
         self.mesh = mesh
-        embed_eeg, embed_speech = make_embed_fns(model)
         if mesh is not None:
             from transformer_clip_eeg_tpu.parallel.mesh import (
+                DATA_AXIS,
                 batch_sharding,
+                replicate,
                 replicated,
             )
 
-            if chunk % mesh.shape["data"] != 0:
+            n_data = mesh.shape[DATA_AXIS]
+            if chunk % n_data != 0:
                 raise ValueError(
-                    f"chunk {chunk} must divide by the data axis "
-                    f"({mesh.shape['data']})"
+                    f"chunk {chunk} must divide by the data axis ({n_data})"
                 )
+            # pin the weights to every device ONCE — otherwise each chunk
+            # call would re-broadcast the whole params tree from host
+            variables = replicate(mesh, variables)
             shardings = (replicated(mesh), batch_sharding(mesh))
-            embed_eeg = jax.jit(embed_eeg, in_shardings=shardings)
-            embed_speech = jax.jit(embed_speech, in_shardings=shardings)
+            embed_eeg, embed_speech = make_embed_fns(
+                model, in_shardings=shardings
+            )
+        else:
+            embed_eeg, embed_speech = make_embed_fns(model)
+        self.variables = variables
         self._embed_eeg, self._embed_speech = embed_eeg, embed_speech
 
     # -- construction -------------------------------------------------------
@@ -207,16 +214,15 @@ class RetrievalIndex:
         if mesh is not None:
             from transformer_clip_eeg_tpu.parallel.mesh import (
                 DATA_AXIS,
+                batch_sharding,
                 replicated,
             )
-            from jax.sharding import NamedSharding, PartitionSpec
 
             n = mesh.shape[DATA_AXIS]
             capacity = int(-(-capacity // n) * n)
-            bank_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
-            self._bank_sharding = bank_sharding
+            self._bank_sharding = batch_sharding(mesh)  # rows over 'data'
             jit_kw = dict(
-                in_shardings=(bank_sharding, replicated(mesh),
+                in_shardings=(self._bank_sharding, replicated(mesh),
                               replicated(mesh)),
             )
         else:
@@ -321,17 +327,25 @@ def main(argv=None) -> int:
     ap.add_argument("--mvn", action="store_true",
                     help="apply eval-time MVN normalization to the EEG")
     ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--shard", type=int, default=0,
+                    help="shard each chunk over N data-parallel devices "
+                         "(0 = single device)")
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
+    mesh = None
+    if args.shard:
+        from transformer_clip_eeg_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.shard)
     sess = InferenceSession.from_results_dir(
-        args.results_folder, chunk=args.chunk
+        args.results_folder, chunk=args.chunk, mesh=mesh
     )
 
     if args.topk and args.eeg and args.candidates:
         eeg_emb = sess.embed_eeg(np.load(args.eeg), normalize=args.mvn)
         cand_emb = sess.embed_speech(np.load(args.candidates))
-        index = RetrievalIndex.from_embeddings(cand_emb)
+        index = RetrievalIndex.from_embeddings(cand_emb, mesh=mesh)
         scores, ids = index.topk(eeg_emb, args.topk)
         with open(args.out, "w") as f:
             json.dump(

@@ -314,23 +314,29 @@ def make_encode_fn(model) -> Callable:
     return encode_eeg
 
 
-def make_embed_fns(model) -> Tuple[Callable, Callable]:
+def make_embed_fns(model, in_shardings=None) -> Tuple[Callable, Callable]:
     """Jitted ``(embed_eeg, embed_speech)`` for the evaluation suite.
 
     Each maps raw windows to flattened L2-normalized embeddings — the
     pattern the challenge eval applies (ref
     ``train_clip_helper_functions.py:103-108,146-149``; note the eval path
     uses a plain ``flatten(start_dim=1)``, *without* the training head's
-    transpose-if-wider quirk)."""
+    transpose-if-wider quirk).
+
+    ``in_shardings``: optional ``(variables_sharding, batch_sharding)``
+    tuple forwarded to ``jax.jit`` — the serving path uses it to shard the
+    window batch over a mesh (each fn is jitted exactly once either way)."""
     from transformer_clip_eeg_tpu.models.heads import flatten_features
     from transformer_clip_eeg_tpu.ops.layers import l2_normalize
 
-    @jax.jit
+    jit_kw = {} if in_shardings is None else {"in_shardings": in_shardings}
+
+    @functools.partial(jax.jit, **jit_kw)
     def embed_eeg(variables, eeg):
         feats = model.apply(variables, eeg, method=model.encode_eeg)
         return l2_normalize(flatten_features(feats), 1)
 
-    @jax.jit
+    @functools.partial(jax.jit, **jit_kw)
     def embed_speech(variables, speech):
         feats = model.apply(variables, speech, method=model.encode_speech)
         return l2_normalize(flatten_features(feats), 1)

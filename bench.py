@@ -81,7 +81,14 @@ def measure_ours(compute_dtype=None) -> float:
             state = carry
             k = jax.random.fold_in(key, i)
             noise = jax.random.normal(k, (1, 1, 1)) * 1e-6
-            b = dict(batch, eeg=batch["eeg"] + noise)
+            # perturb BOTH inputs: anything computed from a loop-invariant
+            # input upstream of the first dropout would be hoisted out of
+            # the scan and escape the measurement
+            b = dict(
+                batch,
+                eeg=batch["eeg"] + noise,
+                speech=batch["speech"] + noise,
+            )
             state, losses = step(state, b, k, warmup=False)
             return state, losses["loss_ce"]
 

@@ -1,0 +1,88 @@
+"""Serving throughput: flagship embedders, windows/second on one chip.
+
+Measures InferenceSession's chunked embedding path at the flagship
+configuration (EEGConformerInterleaved depth 10 / convLSTM on 1024-dim
+wav2vec features, 192-sample windows), scan-chained per PERF.md
+methodology.  Prints one JSON line per stream.
+
+Usage: python scripts/bench_serve.py [--chunk 128] [--steps 20]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--window", type=int, default=192)
+    ap.add_argument("--speech_dim", type=int, default=1024)
+    ap.add_argument("--depth", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from transformer_clip_eeg_tpu.train.steps import make_embed_fns
+
+    model = _flagship(
+        window_length=args.window, speech_dim=args.speech_dim,
+        depth=args.depth, bank_size=512,
+    )
+    rng = np.random.default_rng(0)
+    eeg = rng.standard_normal((args.chunk, args.window, 64)).astype(np.float32)
+    speech = rng.standard_normal(
+        (args.chunk, args.window, args.speech_dim)
+    ).astype(np.float32)
+    ids = np.arange(1, args.chunk + 1, dtype=np.int32)
+    variables = model.init(jax.random.PRNGKey(0), eeg, speech, ids)
+    embed_eeg, embed_speech = make_embed_fns(model)
+
+    # device-resident inputs: numpy args re-upload on EVERY jitted call,
+    # which over this session's tunneled link (~30 MB/s) costs seconds per
+    # call and dwarfs the compute being measured (the 1024-dim speech chunk
+    # is 100 MB).  Serving on a directly-attached host pays PCIe/ICI rates
+    # instead; this benchmark reports the compute path.
+    eeg, speech = jax.device_put(eeg), jax.device_put(speech)
+
+    def timed(fn, x):
+        @jax.jit
+        def run_n(x0):
+            def body(carry, i):
+                emb = fn(variables, x0 + i * 1e-9)
+                return carry + jnp.sum(emb[-1]), None
+
+            out, _ = jax.lax.scan(
+                body, jnp.zeros(()), jnp.arange(args.steps, dtype=jnp.float32)
+            )
+            return out
+
+        float(run_n(x))  # compile + warm
+        t0 = time.perf_counter()
+        float(run_n(x))
+        dt = (time.perf_counter() - t0) / args.steps
+        return dt
+
+    for name, fn, x in [
+        ("eeg", embed_eeg, eeg),
+        ("speech", embed_speech, speech),
+    ]:
+        dt = timed(fn, x)
+        print(json.dumps({
+            "stream": name,
+            "ms_per_chunk": round(dt * 1000, 2),
+            "windows_per_s": round(args.chunk / dt, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,10 +55,14 @@ def main():
     eeg, speech = jax.device_put(eeg), jax.device_put(speech)
 
     def timed(fn, x):
+        # the timed dispatch must DIFFER from the warm-up dispatch — the
+        # tunneled backend deduplicates repeated identical dispatches
+        # (PERF.md methodology), so a byte-identical second call can be
+        # served from cache and under-report
         @jax.jit
-        def run_n(x0):
+        def run_n(x0, salt):
             def body(carry, i):
-                emb = fn(variables, x0 + i * 1e-9)
+                emb = fn(variables, x0 + (i + salt) * 1e-9)
                 return carry + jnp.sum(emb[-1]), None
 
             out, _ = jax.lax.scan(
@@ -66,9 +70,9 @@ def main():
             )
             return out
 
-        float(run_n(x))  # compile + warm
+        float(run_n(x, jnp.float32(0.0)))  # compile + warm
         t0 = time.perf_counter()
-        float(run_n(x))
+        float(run_n(x, jnp.float32(1.0)))
         dt = (time.perf_counter() - t0) / args.steps
         return dt
 

@@ -274,6 +274,12 @@ def test_cli_embed_and_retrieve(run_dir, tmp_path):
     assert len(got["indices"]) == 3
     assert len(got["indices"][0]) == 3
 
+    # partial retrieval flags must error, not silently embed
+    r = run_cli("--results_folder", root, "--eeg", eeg_path,
+                "--topk", "3", "--out", out_json)
+    assert r.returncode != 0
+    assert "retrieval requires" in r.stderr
+
     # --shard: same retrieval over the virtual 8-device CPU mesh
     out_shard = os.path.join(tmp_path, "ret_shard.json")
     r = run_cli("--results_folder", root, "--eeg", eeg_path,

@@ -26,6 +26,7 @@ scatter-add rather than a per-window loop.
 
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import os
@@ -139,6 +140,35 @@ def extract_subject_embeddings(
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=8)
+def _sequential_probe_program(out_dim: int, lr: float):
+    """(model, tx, step, val_loss) for the sequential probe trainer, cached
+    so repeated per-subject calls hit the jit cache instead of re-tracing
+    fresh closures (jit caches by function identity)."""
+    import optax
+
+    model = RegressionModel(output_dim=out_dim)
+    tx = optax.adam(lr)
+
+    @jax.jit
+    def step(params, opt_state, emb, env):
+        def loss_fn(p):
+            out = model.apply(p, emb)
+            return jnp.mean(pearson_loss(out, env, axis=1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def val_loss_fn(params, emb, env):
+        out = model.apply(params, emb)
+        return jnp.mean(pearson_loss(out, env, axis=1))
+
+    return model, tx, step, val_loss_fn
+
+
 def train_regression_probe(
     train_emb: np.ndarray,
     train_env: np.ndarray,
@@ -158,28 +188,11 @@ def train_regression_probe(
     loss, minibatches of 64 in order, best-on-val checkpoint, early stop
     after ``patience`` non-improving epochs.
     """
-    import optax
-
-    model = RegressionModel(output_dim=train_env.shape[-1])
+    model, tx, step, val_loss_fn = _sequential_probe_program(
+        train_env.shape[-1], lr
+    )
     params = model.init(jax.random.PRNGKey(seed), jnp.asarray(train_emb[:1]))
-    tx = optax.adam(lr)
     opt_state = tx.init(params)
-
-    @jax.jit
-    def step(params, opt_state, emb, env):
-        def loss_fn(p):
-            out = model.apply(p, emb)
-            return jnp.mean(pearson_loss(out, env, axis=1))
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    @jax.jit
-    def val_loss_fn(params, emb, env):
-        out = model.apply(params, emb)
-        return jnp.mean(pearson_loss(out, env, axis=1))
 
     n = train_emb.shape[0]
     best_val = np.inf
@@ -215,68 +228,32 @@ def train_regression_probe(
     return best_params, best_val
 
 
-def train_regression_probes_batched(
-    subjects: Sequence[str],
-    train_by_sub: Dict[str, Tuple[np.ndarray, np.ndarray]],
-    val_by_sub: Dict[str, Tuple[np.ndarray, np.ndarray]],
-    *,
-    epochs: int = 250,
-    patience: int = 10,
-    batch_size: int = 64,
-    lr: float = 1e-3,
-    seed: int = 0,
-) -> Dict[str, Tuple[Dict, float]]:
-    """Train EVERY subject's probe simultaneously as ONE jitted program.
+@functools.lru_cache(maxsize=8)
+def _batched_probe_program(
+    S: int,
+    out_dim: int,
+    n_tr_batches: int,
+    n_va_batches: int,
+    epochs: int,
+    patience: int,
+    batch_size: int,
+    lr: float,
+):
+    """Build (model, tx, train_all) for the batched probe trainer.
 
-    The reference trains ~85 per-subject probes sequentially, each a
-    250-epoch python loop of tiny minibatch steps (ref :623-672) — hours of
-    dispatch-bound work.  Here the per-subject loop is ``vmap``-ed over a
-    stacked subject axis and the whole (epochs × minibatches) schedule runs
-    inside one ``lax.while_loop``: a single dispatch trains all probes.
-
-    Semantics match :func:`train_regression_probe` exactly per subject
-    (verified by ``tests/test_eval_suite.py``): ragged subject lengths are
-    end-padded and masked so minibatch boundaries, per-batch loss means, the
-    unweighted mean-of-batch-means validation loss, best-on-val tracking, and
-    per-subject early stopping (no updates after patience is exceeded) are
-    all bit-for-bit the sequential procedure's.
-
-    Returns ``{subject: (params, best_val_loss)}``.
-    """
+    Cached on the static configuration so repeated calls (the eval suite
+    trains sub-specific AND sub-independent probes; benchmarks warm then
+    time) reuse ONE jitted program instead of re-tracing a fresh closure
+    per invocation — ``jax.jit`` caches by function identity, so the jit
+    must wrap a process-lifetime closure to ever hit its cache."""
     import optax
-
-    S = len(subjects)
-    assert S > 0
-    out_dim = train_by_sub[subjects[0]][1].shape[-1]
-
-    def stack(by_sub):
-        # callers pre-resolve fallbacks: every subject must have an entry
-        pairs = [by_sub[s] for s in subjects]
-        ns = np.array([p[0].shape[0] for p in pairs], np.int32)
-        nmax = int(-(-max(ns) // batch_size) * batch_size)  # pad to multiple
-        emb = np.zeros((S, nmax) + pairs[0][0].shape[1:], np.float32)
-        env = np.zeros((S, nmax) + pairs[0][1].shape[1:], np.float32)
-        for i, (e, v) in enumerate(pairs):
-            emb[i, : e.shape[0]] = e
-            env[i, : v.shape[0]] = v
-        return jnp.asarray(emb), jnp.asarray(env), jnp.asarray(ns)
-
-    tr_emb, tr_env, tr_n = stack(train_by_sub)
-    va_emb, va_env, va_n = stack(val_by_sub)
-    n_tr_batches = tr_emb.shape[1] // batch_size
-    n_va_batches = va_emb.shape[1] // batch_size
 
     model = RegressionModel(output_dim=out_dim)
     tx = optax.adam(lr)
-    params0 = model.init(jax.random.PRNGKey(seed), tr_emb[0, :1])
-    params = jax.tree.map(
-        lambda x: jnp.tile(x, (S,) + (1,) * x.ndim), params0
-    )
-    opt_state = jax.vmap(tx.init)(params)
 
     def batch_pearson(p, emb_b, env_b, row_mask):
-        """Masked per-batch scalar: mean over valid rows, then channels —
-        identical to ``jnp.mean(pearson_loss(...))`` on the unpadded batch."""
+        # masked per-batch scalar: mean over valid rows, then channels —
+        # identical to ``jnp.mean(pearson_loss(...))`` on the unpadded batch
         out = model.apply(p, emb_b)
         # padded rows are constant over time → zero variance → NaN grads
         # through x/||x|| (0-cotangent · inf); swap in a harmless ramp
@@ -397,6 +374,68 @@ def train_regression_probes_batched(
             )
 
         return jax.lax.while_loop(cond, body, init)
+
+    return model, tx, train_all
+
+
+def train_regression_probes_batched(
+    subjects: Sequence[str],
+    train_by_sub: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    val_by_sub: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    *,
+    epochs: int = 250,
+    patience: int = 10,
+    batch_size: int = 64,
+    lr: float = 1e-3,
+    seed: int = 0,
+) -> Dict[str, Tuple[Dict, float]]:
+    """Train EVERY subject's probe simultaneously as ONE jitted program.
+
+    The reference trains ~85 per-subject probes sequentially, each a
+    250-epoch python loop of tiny minibatch steps (ref :623-672) — hours of
+    dispatch-bound work.  Here the per-subject loop is ``vmap``-ed over a
+    stacked subject axis and the whole (epochs × minibatches) schedule runs
+    inside one ``lax.while_loop``: a single dispatch trains all probes.
+
+    Semantics match :func:`train_regression_probe` exactly per subject
+    (verified by ``tests/test_eval_suite.py``): ragged subject lengths are
+    end-padded and masked so minibatch boundaries, per-batch loss means, the
+    unweighted mean-of-batch-means validation loss, best-on-val tracking, and
+    per-subject early stopping (no updates after patience is exceeded) are
+    all bit-for-bit the sequential procedure's.
+
+    Returns ``{subject: (params, best_val_loss)}``.
+    """
+    S = len(subjects)
+    assert S > 0
+    out_dim = train_by_sub[subjects[0]][1].shape[-1]
+
+    def stack(by_sub):
+        # callers pre-resolve fallbacks: every subject must have an entry
+        pairs = [by_sub[s] for s in subjects]
+        ns = np.array([p[0].shape[0] for p in pairs], np.int32)
+        nmax = int(-(-max(ns) // batch_size) * batch_size)  # pad to multiple
+        emb = np.zeros((S, nmax) + pairs[0][0].shape[1:], np.float32)
+        env = np.zeros((S, nmax) + pairs[0][1].shape[1:], np.float32)
+        for i, (e, v) in enumerate(pairs):
+            emb[i, : e.shape[0]] = e
+            env[i, : v.shape[0]] = v
+        return jnp.asarray(emb), jnp.asarray(env), jnp.asarray(ns)
+
+    tr_emb, tr_env, tr_n = stack(train_by_sub)
+    va_emb, va_env, va_n = stack(val_by_sub)
+    n_tr_batches = tr_emb.shape[1] // batch_size
+    n_va_batches = va_emb.shape[1] // batch_size
+
+    model, tx, train_all = _batched_probe_program(
+        S, out_dim, n_tr_batches, n_va_batches, epochs, patience, batch_size,
+        lr,
+    )
+    params0 = model.init(jax.random.PRNGKey(seed), tr_emb[0, :1])
+    params = jax.tree.map(
+        lambda x: jnp.tile(x, (S,) + (1,) * x.ndim), params0
+    )
+    opt_state = jax.vmap(tx.init)(params)
 
     final = train_all(
         params, opt_state, tr_emb, tr_env, tr_n, va_emb, va_env, va_n

@@ -120,6 +120,9 @@ class InferenceSession:
             )
         else:
             embed_eeg, embed_speech = make_embed_fns(model)
+            # same once-only upload on one device: checkpoint restore yields
+            # numpy leaves, and numpy args re-transfer on EVERY jitted call
+            variables = jax.device_put(variables)
         self.variables = variables
         self._embed_eeg, self._embed_speech = embed_eeg, embed_speech
 
@@ -144,6 +147,10 @@ class InferenceSession:
         ckpt_path = os.path.join(results_dir, "checkpoints", CKPT_NAME)
         if not os.path.exists(ckpt_path):
             raise FileNotFoundError(f"no checkpoint at {ckpt_path}")
+        # template-free restore reads the whole payload incl. the optimizer
+        # state serving never uses (~2x params of extra I/O) — the price of
+        # not knowing the param tree before the model is built; the unused
+        # collections are dropped right below
         payload = restore_params_only(ckpt_path)
 
         membank = payload.get("membank") or {}
@@ -333,6 +340,14 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
+    # retrieval needs the full (--eeg, --candidates, --topk) triple —
+    # reject partial combinations instead of silently embedding
+    retrieval_flags = (bool(args.topk), bool(args.candidates))
+    if any(retrieval_flags) and not (all(retrieval_flags) and args.eeg):
+        ap.error(
+            "retrieval requires --eeg, --candidates AND --topk together"
+        )
+
     mesh = None
     if args.shard:
         from transformer_clip_eeg_tpu.parallel.mesh import make_mesh
@@ -364,8 +379,7 @@ def main(argv=None) -> int:
     elif args.speech:
         emb = sess.embed_speech(np.load(args.speech))
     else:
-        ap.error("one of --eeg / --speech is required")
-        return 2
+        ap.error("one of --eeg / --speech is required")  # raises SystemExit
     np.save(args.out, emb)
     print(f"wrote {emb.shape} embeddings to {args.out}")
     return 0

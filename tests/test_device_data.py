@@ -180,3 +180,89 @@ def test_chunk_scan_step_matches_per_batch(ds):
         ),
         state_noop.params, state0.params,
     )
+
+
+def _fresh_datasets(root, batch_size=8):
+    """Fresh dataset pair per run: training consumes ``dataset.rng``, so
+    trajectory-identity comparisons need identical rng streams."""
+    files = get_train_val_test_files_final(
+        root, 0, "wav2vec_19", f"{root}/fold_split.json", 3
+    )
+    train = EEGWindowDataset(
+        files[0], files[4], 192, 192, batch_size=batch_size, seed=0
+    )
+    val = EEGWindowDataset(
+        files[1], files[5], 192, 192, batch_size=batch_size, seed=0
+    )
+    return train, val
+
+
+def test_device_mode_composes_with_mesh(ds, tmp_path):
+    """The flagship fast path (device-resident chunks + chunk-scan step) and
+    the scale-out path (8-way data-parallel mesh) must be the SAME path
+    (VERDICT r1 #1): Trainer.fit() on the mesh must reproduce the
+    single-device device-data loss trajectory, with global-batch InfoNCE
+    semantics provided by GSPMD (SURVEY §5.8; ref clip_model.py:923)."""
+    import jax
+
+    from transformer_clip_eeg_tpu.parallel import make_mesh
+
+    root, _, _ = ds
+    assert len(jax.devices()) == 8
+
+    def run(mesh, out_name):
+        cfg = TrainConfig(
+            data_dir=root, run=0, batch_size=8, epochs=2, patience=5,
+            attention_depth=1, latent_dim=4, lstm_units=8,
+            number_of_training_subjects=3, speech_dim_override=16,
+            data_mode="device",
+        )
+        train, val = _fresh_datasets(root)
+        trainer = Trainer(
+            cfg, train, val, results_dir=str(tmp_path / out_name), mesh=mesh
+        )
+        assert trainer.device_data  # the gate must not disable the fast path
+        out = trainer.fit()
+        return out
+
+    out_single = run(None, "single")
+    out_mesh = run(make_mesh(), "mesh8")
+
+    # identical sampling streams + replicated state + sharded batch =>
+    # the trajectories must agree to f32 reduction-order noise
+    for h1, h8 in zip(out_single["history"], out_mesh["history"]):
+        np.testing.assert_allclose(
+            h1["val_loss_ce"], h8["val_loss_ce"], rtol=2e-4, atol=2e-4
+        )
+    np.testing.assert_allclose(
+        out_single["best_loss"], out_mesh["best_loss"], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_cli_n_data_shards_end_to_end(ds, tmp_path):
+    """`--n_data_shards 8` must train on the mesh through the real CLI and
+    persist the mesh config so --only_evaluate can rebuild it (VERDICT r1
+    #2/#8)."""
+    import glob
+    import json
+    import os
+
+    from transformer_clip_eeg_tpu.cli import main as cli_main
+
+    root, _, _ = ds
+    results_folder = str(tmp_path / "cli_mesh")
+    rc = cli_main([
+        "--data_dir", root, "--run", "0", "--batch_size", "8",
+        "--epochs", "1", "--attention_depth", "1", "--latent_dim", "4",
+        "--lstm_units", "8", "--number_of_training_subjects", "3",
+        "--speech_dim_override", "16", "--n_data_shards", "8",
+        "--data_mode", "device", "--skip_eval", "yes",
+        "--results_folder", results_folder,
+    ])
+    assert rc == 0
+    run_dirs = glob.glob(os.path.join(results_folder, "results_*"))
+    assert len(run_dirs) == 1
+    with open(os.path.join(run_dirs[0], "args.txt")) as f:
+        saved = json.load(f)
+    assert saved["n_data_shards"] == 8
+    assert saved["data_mode"] == "device"

@@ -90,9 +90,14 @@ class TrainConfig:
     speech_dim_override: Optional[int] = None  # test fixtures with small dims
     # batch assembly: 'host' gathers on host per batch (reference-style),
     # 'device' keeps story chunks device-resident and gathers inside the
-    # jitted step (~8x less host->device traffic), 'auto' = device on a
-    # single TPU, host otherwise
+    # jitted step (~8x less host->device traffic), 'auto' = device on TPU,
+    # host otherwise
     data_mode: str = "auto"
+    # 0 = single device; N = N-way data-parallel ('data') mesh.  Persisted
+    # so --only_evaluate / cv reloads reconstruct the mesh the run used.
+    n_data_shards: int = 0
+    # write a jax.profiler trace of the first training epoch here
+    profile_dir: str = ""
 
     # -- derived ------------------------------------------------------------
 

@@ -220,41 +220,6 @@ class Trainer:
         )
         self.eval_step = make_eval_step(cfg.model_arch, donate=True)
 
-        # device-resident chunk path (train/device_data.py)
-        if cfg.data_mode == "device":
-            self.device_data = True
-        elif cfg.data_mode == "host":
-            self.device_data = False
-        else:  # auto
-            self.device_data = mesh is None and jax.default_backend() == "tpu"
-        if self.device_data:
-            from transformer_clip_eeg_tpu.train.device_data import (
-                DeviceChunkStore,
-            )
-            from transformer_clip_eeg_tpu.train.steps import (
-                make_chunk_train_step,
-            )
-
-            self.chunk_store = DeviceChunkStore(train_dataset)
-            self.chunk_step = make_chunk_train_step(
-                cfg.model_arch,
-                cfg.augmentations,
-                cfg.data_augmentation_percentage,
-                cfg.addEEG_b,
-                compute_dtype=compute_dtype,
-            )
-            from transformer_clip_eeg_tpu.train.steps import (
-                make_chunk_scan_step,
-            )
-
-            self.chunk_scan_step = make_chunk_scan_step(
-                cfg.model_arch,
-                cfg.augmentations,
-                cfg.data_augmentation_percentage,
-                cfg.addEEG_b,
-                compute_dtype=compute_dtype,
-            )
-
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -263,6 +228,60 @@ class Trainer:
         else:
             self.batch_sharding = None
             self.replicated = None
+
+        # device-resident chunk path (train/device_data.py).  Composes with
+        # the mesh: chunks are uploaded replicated, the in-jit gathered batch
+        # is constrained onto the 'data' axis, and GSPMD inserts the global
+        # embedding all-gather for the B×B InfoNCE (SURVEY §5.8) — the fast
+        # data path and the scale-out path are the same path.
+        if cfg.data_mode == "device":
+            self.device_data = True
+        elif cfg.data_mode == "host":
+            self.device_data = False
+        else:  # auto
+            self.device_data = jax.default_backend() == "tpu"
+        if self.device_data:
+            from transformer_clip_eeg_tpu.train.device_data import (
+                DeviceChunkStore,
+            )
+            from transformer_clip_eeg_tpu.train.steps import (
+                make_chunk_eval_scan_step,
+                make_chunk_eval_step,
+                make_chunk_scan_step,
+                make_chunk_train_step,
+            )
+
+            self.chunk_store = DeviceChunkStore(
+                train_dataset, sharding=self.replicated
+            )
+            step_kw = dict(
+                compute_dtype=compute_dtype,
+                batch_sharding=self.batch_sharding,
+            )
+            self.chunk_step = make_chunk_train_step(
+                cfg.model_arch,
+                cfg.augmentations,
+                cfg.data_augmentation_percentage,
+                cfg.addEEG_b,
+                **step_kw,
+            )
+            self.chunk_scan_step = make_chunk_scan_step(
+                cfg.model_arch,
+                cfg.augmentations,
+                cfg.data_augmentation_percentage,
+                cfg.addEEG_b,
+                **step_kw,
+            )
+            if val_dataset is not None:
+                self.val_chunk_store = DeviceChunkStore(
+                    val_dataset, sharding=self.replicated
+                )
+                self.chunk_eval_step = make_chunk_eval_step(
+                    cfg.model_arch, batch_sharding=self.batch_sharding
+                )
+                self.chunk_eval_scan_step = make_chunk_eval_scan_step(
+                    cfg.model_arch, batch_sharding=self.batch_sharding
+                )
 
         # initialize state from one example batch
         example = next(batch_iterator(train_dataset, cfg.addEEG_b))
@@ -454,14 +473,42 @@ class Trainer:
         }
 
     def evaluate(self) -> Dict[str, float]:
-        """Mean validation losses over the val set (ref :506-529)."""
+        """Mean validation losses over the val set (ref :506-529).
+
+        In device-data mode validation runs through the val chunk store —
+        whole chunks scanned in one dispatch, zero per-batch host gathers —
+        with identical batch sampling to the host path (the chunk iterator
+        consumes ``dataset.rng`` in the same order ``batch_iterator`` does).
+        """
         if self.val_dataset is None:
             return {"loss_ce": float("nan"), "loss_total": float("nan")}
         sums: Dict[str, float] = {}
         count = 0
-        for batch in self._device_batches(self.val_dataset, add_eeg=False):
-            self.state, losses = self.eval_step(self.state, batch)
-            for k, v in losses.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
+        if self.device_data:
+            sb = self.val_chunk_store.subs_bucket
+            for (eeg_c, sp_c, ids_c, idx_m, subs_m, _partner, n) in (
+                self.val_chunk_store.epoch_chunk_batches(add_eeg=False)
+            ):
+                n_scan = (n // sb) * sb
+                if n_scan:
+                    self.state, losses = self.chunk_eval_scan_step(
+                        self.state, eeg_c, sp_c, ids_c, idx_m[:n_scan],
+                        subs_m[:n_scan], np.ones(n_scan, dtype=bool),
+                    )
+                    for k, v in losses.items():
+                        sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
+                    count += n_scan
+                for i in range(n_scan, n):
+                    self.state, losses = self.chunk_eval_step(
+                        self.state, eeg_c, sp_c, ids_c, idx_m[i], subs_m[i],
+                    )
+                    for k, v in losses.items():
+                        sums[k] = sums.get(k, 0.0) + float(v)
+                    count += 1
+        else:
+            for batch in self._device_batches(self.val_dataset, add_eeg=False):
+                self.state, losses = self.eval_step(self.state, batch)
+                for k, v in losses.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                count += 1
         return {k: v / max(count, 1) for k, v in sums.items()}

@@ -153,6 +153,23 @@ def make_train_step(
     )
 
 
+def _constrain_batch(batch: Dict[str, Array], batch_sharding) -> Dict[str, Array]:
+    """Force the in-jit gathered batch onto the 'data' axis of the mesh.
+
+    Chunk arrays live replicated on every device (they are shared by all
+    batches); the per-batch row gather therefore produces replicated output
+    unless GSPMD is told otherwise.  Constraining every batch leaf to the
+    batch sharding makes the encoders run data-parallel, after which GSPMD
+    inserts the one embedding all-gather the global-B×B InfoNCE needs
+    (SURVEY §5.8; ref clip_model.py:923)."""
+    if batch_sharding is None:
+        return batch
+    return {
+        k: jax.lax.with_sharding_constraint(v, batch_sharding)
+        for k, v in batch.items()
+    }
+
+
 def make_chunk_train_step(
     model_arch: str,
     augmentations: Sequence[str] = (),
@@ -160,6 +177,7 @@ def make_chunk_train_step(
     add_eeg: bool = False,
     donate: bool = True,
     compute_dtype=None,
+    batch_sharding=None,
 ) -> Callable:
     """Train step over a device-resident story chunk (see
     ``train/device_data.py``): the batch row-gather happens inside the jit,
@@ -168,6 +186,10 @@ def make_chunk_train_step(
     Returns ``step(state, eeg_chunk, speech_chunk, ids_chunk, idx, subs,
     partner, rng, warmup) -> (state, metrics)`` (``partner`` = host-sampled
     mixup partner subjects; pass ``idx`` again when mixup is off).
+
+    ``batch_sharding``: optional NamedSharding (leading axis over 'data')
+    constraining the gathered batch so the step runs data-parallel over a
+    mesh with the chunk store replicated.
     """
     from transformer_clip_eeg_tpu.train.device_data import gather_batch
 
@@ -188,6 +210,7 @@ def make_chunk_train_step(
             eeg_chunk, speech_chunk, ids_chunk, idx, subs,
             add_eeg=add_eeg, partner=partner,
         )
+        batch = _constrain_batch(batch, batch_sharding)
         return base(state, batch, rng, warmup=warmup)
 
     return jax.jit(
@@ -204,6 +227,7 @@ def make_chunk_scan_step(
     add_eeg: bool = False,
     donate: bool = True,
     compute_dtype=None,
+    batch_sharding=None,
 ) -> Callable:
     """All of a story chunk's batches in ONE dispatch: ``lax.scan`` over the
     per-subject batch list with in-jit gathers.
@@ -239,6 +263,7 @@ def make_chunk_scan_step(
                 eeg_chunk, speech_chunk, ids_chunk, idx, subs,
                 add_eeg=add_eeg, partner=partner,
             )
+            batch = _constrain_batch(batch, batch_sharding)
             new_st, losses = base(st, batch, rng, warmup=warmup)
             st = jax.tree.map(
                 lambda a, b: jnp.where(v, a, b), new_st, st
@@ -300,6 +325,69 @@ def make_eval_step(
         out_shardings=out_shardings,
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_chunk_eval_step(
+    model_arch: str,
+    donate: bool = True,
+    batch_sharding=None,
+) -> Callable:
+    """Validation step over a device-resident story chunk: the batch gather
+    runs in-jit (see ``make_chunk_train_step``), so validation in device-data
+    mode pays no per-batch host gathers or transfers — only tiny index
+    vectors cross the link (VERDICT r1 weak #2).
+
+    Returns ``step(state, eeg_chunk, speech_chunk, ids_chunk, idx, subs)
+    -> (state, metrics)``; the memory bank still EMA-updates, as the
+    reference's eval forward does (ref clip_model.py:731-745).
+    """
+    from transformer_clip_eeg_tpu.train.device_data import gather_batch
+
+    base = make_eval_step(model_arch, donate=False)
+
+    def chunk_eval_step(state, eeg_chunk, speech_chunk, ids_chunk, idx, subs):
+        batch = gather_batch(eeg_chunk, speech_chunk, ids_chunk, idx, subs)
+        batch = _constrain_batch(batch, batch_sharding)
+        return base(state, batch)
+
+    return jax.jit(chunk_eval_step, donate_argnums=(0,) if donate else ())
+
+
+def make_chunk_eval_scan_step(
+    model_arch: str,
+    donate: bool = True,
+    batch_sharding=None,
+) -> Callable:
+    """All of a story chunk's validation batches in ONE dispatch
+    (``lax.scan`` over the per-subject batch list, mirror of
+    ``make_chunk_scan_step``).  ``valid[i] == 0`` rows (subject-bucket
+    padding) run the forward but keep the pre-step memory bank, so padding
+    never perturbs the bank.
+
+    Returns ``step(state, eeg_chunk, speech_chunk, ids_chunk, idx_mat
+    [n, bs], subs_mat [n, bs], valid [n]) -> (state, losses stacked [n])``.
+    """
+    from transformer_clip_eeg_tpu.train.device_data import gather_batch
+
+    base = make_eval_step(model_arch, donate=False)
+
+    def scan_eval_step(
+        state, eeg_chunk, speech_chunk, ids_chunk, idx_mat, subs_mat, valid
+    ):
+        def body(st, inp):
+            idx, subs, v = inp
+            batch = gather_batch(eeg_chunk, speech_chunk, ids_chunk, idx, subs)
+            batch = _constrain_batch(batch, batch_sharding)
+            new_st, losses = base(st, batch)
+            st = jax.tree.map(lambda a, b: jnp.where(v, a, b), new_st, st)
+            return st, losses
+
+        state, losses = jax.lax.scan(
+            body, state, (idx_mat, subs_mat, valid)
+        )
+        return state, losses
+
+    return jax.jit(scan_eval_step, donate_argnums=(0,) if donate else ())
 
 
 def make_encode_fn(model) -> Callable:

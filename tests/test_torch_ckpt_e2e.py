@@ -1,0 +1,234 @@
+"""End-to-end reference-checkpoint ingestion.
+
+Round-1 VERDICT gap #3: ``utils.torch_import`` could convert instantiated
+torch modules, but no driver path consumed an actual reference
+``checkpoints/model.ckpt`` (ref ``train_clip_final.py:443-449,541-556``).
+These tests cover the full workflow: a bare torch ``state_dict`` file →
+state-dict-driven conversion (no reference code import at runtime) →
+``--only_evaluate`` produces eval JSONs whose match-mismatch results agree
+with the reference's own evaluation of the same checkpoint.
+"""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference")
+import clip_model as ref_clip  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from transformer_clip_eeg_tpu.data.fixtures import make_fixture  # noqa: E402
+from transformer_clip_eeg_tpu.utils.torch_import import (  # noqa: E402
+    convert_head,
+    convert_state_dict,
+    load_torch_state_dict,
+)
+
+WL = 192
+
+
+def _trees_equal(a, b, path=()):
+    assert isinstance(a, dict) == isinstance(b, dict), path
+    if isinstance(a, dict):
+        assert set(a) == set(b), (path, set(a) ^ set(b))
+        for k in a:
+            _trees_equal(a[k], b[k], path + (k,))
+    else:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(path))
+
+
+def _flagship_torch_head(speech_dim=16, bank_size=50, units_lstm=8):
+    torch.manual_seed(0)
+    t_eeg = ref_clip.EEGConformerInterleaved(
+        output_dim=4, conformer_input_dim=64, filters=(64,), kernels=(64,),
+        time_dimension=WL, depth=2,
+    )
+    t_sp = ref_clip.EEGConvLSTM(
+        units_lstm=units_lstm, output_dim=4, eeg_dim=speech_dim,
+        filters=(64,), kernels=(32,), input_channels=speech_dim,
+        time_dimension=WL,
+    )
+    latent = t_sp.get_output_dim(WL)
+    t_bank = ref_clip.memoryBank(
+        bank_size=bank_size, device=torch.device("cpu"), dim=latent
+    )
+    return ref_clip.CLIPSimNoLatentProj(
+        t_eeg, t_sp, t_bank, temperature=0.075, window_length=WL
+    ).eval()
+
+
+def test_state_dict_conversion_matches_module_walk():
+    """The key-grammar converter must reproduce the (parity-proven) module
+    walk exactly for the flagship head — raw state_dict in, identical flax
+    trees out, nothing skipped."""
+    t_head = _flagship_torch_head()
+    walked = convert_head(t_head)
+    converted, unmatched = convert_state_dict(t_head.state_dict(), walked)
+    assert unmatched == []
+    _trees_equal(converted, walked)
+
+
+def test_state_dict_conversion_kld_head():
+    """KLD head exercises the embedding table (no transpose!), μ/logσ²
+    linears, and the projection heads (ref clip_model.py:1174-1323)."""
+    torch.manual_seed(1)
+    t_eeg = ref_clip.EEGConformerInterleaved(
+        output_dim=4, conformer_input_dim=64, filters=(64,), kernels=(64,),
+        time_dimension=WL, depth=1,
+    )
+    t_sp = ref_clip.EEGConvLSTM(
+        units_lstm=8, output_dim=4, eeg_dim=16, filters=(64,), kernels=(32,),
+        input_channels=16, time_dimension=WL,
+    )
+    latent = t_sp.get_output_dim(WL)
+    t_head = ref_clip.CLIPKLDNoLatentProj(
+        t_eeg, t_sp, latent_dimension=latent, number_of_classes=30,
+        temperature=0.075, window_length=WL,
+    ).eval()
+    walked = convert_head(t_head)
+    converted, unmatched = convert_state_dict(t_head.state_dict(), walked)
+    assert unmatched == []
+    _trees_equal(converted, walked)
+
+
+def test_state_dict_conversion_vlaai():
+    """VLAAI exercises the sequentialConvStack remap and the mixed
+    conv/norm layer list (ref vlaai.py:24-41,101)."""
+    import vlaai as ref_vlaai
+
+    torch.manual_seed(2)
+    wl = 320  # VLAAI's default LayerNorm time dim (ref vlaai.py:12)
+    t_enc = ref_vlaai.VLAAI()
+    t_sp = ref_clip.EEGConvLSTM(
+        units_lstm=8, output_dim=4, eeg_dim=16, filters=(64,), kernels=(32,),
+        input_channels=16, time_dimension=wl,
+    )
+    t_bank = ref_clip.memoryBank(
+        bank_size=20, device=torch.device("cpu"), dim=t_sp.get_output_dim(wl)
+    )
+    t_head = ref_clip.CLIPSimNoLatentProj(
+        t_enc, t_sp, t_bank, temperature=0.075, window_length=wl
+    ).eval()
+    walked = convert_head(t_head)
+    converted, unmatched = convert_state_dict(t_head.state_dict(), walked)
+    assert unmatched == []
+    _trees_equal(converted, walked)
+
+
+def test_partial_load_semantics():
+    """Unknown checkpoint keys are skipped-and-reported, template leaves
+    without checkpoint entries keep their values (ref :546-554)."""
+    t_head = _flagship_torch_head()
+    template = convert_head(t_head)
+    sd = t_head.state_dict()
+    sd["not_a_real.module.weight"] = torch.zeros(3, 3)
+    removed = "temperature"
+    orig = np.asarray(template["params"][removed]).copy()
+    del sd[removed]
+    merged, report = load_torch_state_dict(sd, template)
+    assert any("not_a_real" in r for r in report)
+    np.testing.assert_array_equal(merged["params"][removed], orig)
+
+
+@pytest.mark.slow
+def test_only_evaluate_ingests_reference_ckpt(tmp_path, monkeypatch):
+    """One command takes a reference results dir (args.txt + torch
+    checkpoints/model.ckpt) to eval JSONs, and the match-mismatch results
+    agree with the reference's own eval of that checkpoint to 1e-4."""
+    # the reference helper imports dataset_loader → braindecode (absent);
+    # the MM eval itself never touches it
+    if "braindecode" not in sys.modules:
+        stub = types.ModuleType("braindecode")
+        aug = types.ModuleType("braindecode.augmentation")
+        for name in [
+            "SignFlip", "FTSurrogate", "FrequencyShift", "BandstopFilter",
+            "GaussianNoise", "SmoothTimeMask", "ChannelsDropout",
+            "ChannelsShuffle",
+        ]:
+            setattr(aug, name, object)
+        stub.augmentation = aug
+        sys.modules["braindecode"] = stub
+        sys.modules["braindecode.augmentation"] = aug
+    import train_clip_helper_functions as ref_helper
+
+    from transformer_clip_eeg_tpu.cli import main as cli_main
+    from transformer_clip_eeg_tpu.data.dataset import EEGWindowDataset
+    from transformer_clip_eeg_tpu.data.discovery import (
+        get_train_val_test_files_final,
+    )
+    from transformer_clip_eeg_tpu.train.config import TrainConfig
+
+    root = str(tmp_path / "data")
+    sd_dim = 16
+    make_fixture(root, n_stories=3, n_subjects=2, story_seconds=45,
+                 speech_dim=sd_dim)
+
+    cfg = TrainConfig(
+        data_dir=root, run=0, batch_size=8, attention_depth=2, latent_dim=4,
+        number_of_training_subjects=2, speech_dim_override=sd_dim,
+        number_conv_layers=1,
+    )
+    # bank sizing the Trainer will recompute (ref train_clip_final.py:367-372)
+    files = get_train_val_test_files_final(
+        root, 0, "wav2vec_19", cfg.fold_split_path, 2
+    )
+    bank = max(
+        EEGWindowDataset(files[i], files[4 + i], WL, WL, batch_size=8,
+                         seed=0).get_number_of_stimuli_segments()
+        for i in (0, 1)
+    )
+
+    # matching torch model: registry's convLSTM speech path hardcodes
+    # units_lstm=128 (ref :117-128)
+    t_head = _flagship_torch_head(
+        speech_dim=sd_dim, bank_size=bank, units_lstm=128
+    )
+
+    rd = str(tmp_path / "ref_run")
+    os.makedirs(os.path.join(rd, "checkpoints"))
+    cfg.save(os.path.join(rd, "args.txt"))
+    torch.save(t_head.state_dict(), os.path.join(rd, "checkpoints", "model.ckpt"))
+
+    # keep the probe-training part of the eval suite fast
+    import transformer_clip_eeg_tpu.eval.regression as reg
+
+    orig = reg.train_regression_probes_batched
+    monkeypatch.setattr(
+        reg, "train_regression_probes_batched",
+        lambda *a, **k: orig(*a, **{**k, "epochs": 2}),
+    )
+
+    rc = cli_main(["--only_evaluate", "yes", "--results_folder", rd])
+    assert rc == 0
+
+    with open(os.path.join(rd, "evaluation_challenge_set_2023_mm.json")) as f:
+        ours = json.load(f)
+    with open(os.path.join(rd, "evaluation_challenge_set_2023_mm_logits.json")) as f:
+        ours_logits = json.load(f)
+    assert ours
+
+    ref_ev, ref_logits, _, _ = ref_helper.evaluate_model_challenge_2023_mm(
+        t_head, torch.device("cpu"), speech_feature="wav2vec_19",
+        eeg_folder=os.path.join(root, "icassp", "TEST_task1_matchmismatch"),
+    )
+    assert set(ours) == set(ref_ev)
+    for sub in ref_ev:  # accuracy keys carry the reference's '_mvn' suffix
+        np.testing.assert_allclose(ours[sub], ref_ev[sub], atol=1e-6)
+        base = sub.replace("_mvn", "")  # logits dicts use the bare name
+        assert set(ours_logits[base]) == set(ref_logits[base])
+        for seg_key, (ref_vals, ref_label) in ref_logits[base].items():
+            our_vals, our_label = ours_logits[base][seg_key]
+            assert our_label == ref_label
+            np.testing.assert_allclose(
+                np.asarray(our_vals, np.float32),
+                np.asarray(ref_vals, np.float32),
+                atol=1e-4,
+            )

@@ -235,9 +235,17 @@ def main(argv=None) -> int:
     )
 
     if args.only_evaluate == "yes":
+        # orbax first; else a reference torch model.ckpt is ingested
+        # directly (ref :541-556 loads the same file) — one command takes a
+        # reference results dir (args.txt + checkpoints/model.ckpt) to the
+        # eval JSONs
         restored = ckpt_lib.restore_checkpoint(
             trainer.checkpoint_dir, trainer.state
         )
+        if restored is None:
+            restored = ckpt_lib.restore_torch_checkpoint(
+                trainer.checkpoint_dir, trainer.state
+            )
         if restored is None:
             print(f"no checkpoint found in {trainer.checkpoint_dir}")
             return 1

@@ -71,6 +71,46 @@ def restore_checkpoint(
     )
 
 
+TORCH_CKPT_NAME = "model.ckpt"
+
+
+def restore_torch_checkpoint(
+    checkpoint_dir: str, state: TrainState
+) -> Optional[TrainState]:
+    """Ingest a reference torch ``checkpoints/model.ckpt`` into the state.
+
+    The reference driver loads such a state_dict both at auto-resume
+    (ref ``train_clip_final.py:443-449``) and in eval mode (``:541-556``);
+    this is the TPU-side equivalent: the state_dict is converted
+    (``utils.torch_import``) against the initialized state's variable tree
+    and overlaid with partial-load semantics.  Returns None when no torch
+    checkpoint exists.
+    """
+    path = os.path.join(checkpoint_dir, TORCH_CKPT_NAME)
+    if not os.path.exists(path):
+        return None
+    import jax.numpy as jnp
+
+    from transformer_clip_eeg_tpu.utils.torch_import import (
+        load_torch_state_dict,
+    )
+
+    template = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "membank": jax.device_get(state.membank),
+    }
+    merged, report = load_torch_state_dict(path, template)
+    for item in report:
+        print(f"torch checkpoint: skipped {item}")
+    as_jnp = lambda tree: jax.tree.map(jnp.asarray, tree)
+    return state.replace(
+        params=as_jnp(merged["params"]),
+        batch_stats=as_jnp(merged["batch_stats"]),
+        membank=as_jnp(merged["membank"]),
+    )
+
+
 def save_params_only(path: str, variables: Any) -> None:
     """Save bare model variables (the probe checkpoints' analogue of the
     reference's per-subject ``.pth`` files,

@@ -349,9 +349,17 @@ class Trainer:
 
     def fit(self) -> Dict[str, Any]:
         cfg = self.cfg
-        # auto-resume (ref train_clip_final.py:443-449)
+        # auto-resume (ref train_clip_final.py:443-449); a reference torch
+        # model.ckpt dropped into checkpoints/ resumes too (converted via
+        # utils.torch_import — the reference loads the same file here)
         restored = ckpt_lib.restore_checkpoint(self.checkpoint_dir, self.state)
+        if restored is None:
+            restored = ckpt_lib.restore_torch_checkpoint(
+                self.checkpoint_dir, self.state
+            )
         if restored is not None:
+            if self.replicated is not None:
+                restored = jax.device_put(restored, self.replicated)
             self.state = restored
             printf(
                 f"loaded model from {self.checkpoint_dir}", self.loss_file

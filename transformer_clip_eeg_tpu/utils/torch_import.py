@@ -20,6 +20,7 @@ hot path.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -275,6 +276,264 @@ def convert_regression_model(torch_probe) -> Dict[str, Any]:
     col = _Collector()
     _convert_conv1d(torch_probe.conv, col, ("conv",))
     return col.variables()
+
+
+# --------------------------------------------------------------------------
+# State-dict-driven conversion (no torch module instantiation required)
+# --------------------------------------------------------------------------
+#
+# A reference ``checkpoints/model.ckpt`` is a bare ``state_dict`` (ref
+# ``train_clip_final.py:531-540``).  The functions below convert it straight
+# into flax variables, guided by the *template* variable tree of the already-
+# initialized flax model — so the driver can ingest reference checkpoints
+# end-to-end without importing the reference's code.  Partial-load semantics
+# mirror the reference eval loader (``:546-554``): keys without a template
+# match are skipped and reported, template leaves without a checkpoint entry
+# keep their initialized values.
+
+
+def _rewrite_comps(comps):
+    """Torch key components → flax path components.
+
+    Handles the structural remaps between the reference's container modules
+    and our named flax submodules: TransformerEncoder(Sequential) internals
+    (ref clip_model.py:75-99 → block_{i}.ln1/attn/ln2/ffn.fc1/fc2), the
+    VLAAI sequentialConvStack (ref vlaai.py:101 → extractor /
+    linear_recombination / output_context) and its mixed conv/norm layer
+    list (ref vlaai.py:24-41, stride-3 Conv1d/LayerNorm/LeakyReLU groups).
+    """
+    out = []
+    i = 0
+    n = len(comps)
+    while i < n:
+        c = comps[i]
+        if (
+            c.isdigit()
+            and i + 2 < n
+            and comps[i + 1] in ("0", "1")
+            and comps[i + 2] == "fn"
+        ):
+            blk = f"block_{c}"
+            branch, rest = comps[i + 1], comps[i + 3 :]
+            if branch == "0" and rest[:1] == ["0"]:
+                out += [blk, "ln1"]
+                i += 4
+            elif branch == "0" and rest[:1] == ["1"]:
+                out += [blk, "attn"]
+                i += 4
+            elif branch == "1" and rest[:1] == ["0"]:
+                out += [blk, "ln2"]
+                i += 4
+            elif branch == "1" and rest[:2] == ["1", "0"]:
+                out += [blk, "ffn", "fc1"]
+                i += 5
+            elif branch == "1" and rest[:2] == ["1", "3"]:
+                out += [blk, "ffn", "fc2"]
+                i += 5
+            else:
+                out.append(c)
+                i += 1
+            continue
+        if c == "sequentialConvStack" and i + 1 < n and comps[i + 1].isdigit():
+            out.append(
+                {
+                    "0": "extractor",
+                    "1": "linear_recombination",
+                    "2": "output_context",
+                }[comps[i + 1]]
+            )
+            i += 2
+            continue
+        if c == "conv_layers" and i + 1 < n and comps[i + 1].isdigit():
+            j = int(comps[i + 1])
+            out.append(f"conv_{j // 3}" if j % 3 == 0 else f"norm_{j // 3}")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return out
+
+
+def _resolve_node(tree, comps):
+    """Resolve rewritten components against the template params tree.
+
+    Bare digit components that don't exist in the template are Sequential
+    wrappers the flax side doesn't have (the reference wraps single layers
+    as ``Sequential(layer, activation)``) — they are skipped.  Returns the
+    resolved node (a module dict, or a bare param leaf for e.g. the KLD
+    ``mu_eeg_lookup`` embedding) or None.
+    """
+    if not comps:
+        return tree
+    c = comps[0]
+    if isinstance(tree, dict):
+        if c in tree:
+            r = _resolve_node(tree[c], comps[1:])
+            if r is not None:
+                return r
+        if c.isdigit():
+            return _resolve_node(tree, comps[1:])
+    return None
+
+
+def _resolve_path(tree, comps):
+    """Like ``_resolve_node`` but returns the flax path taken."""
+    if not comps:
+        return ()
+    c = comps[0]
+    if isinstance(tree, dict):
+        if c in tree:
+            r = _resolve_path(tree[c], comps[1:])
+            if r is not None:
+                return (c,) + r
+        if c.isdigit():
+            return _resolve_path(tree, comps[1:])
+    return None
+
+
+def _emit_group(col, path, node, leaves, unmatched, prefix_str):
+    """Convert one module's leaf group using type cues (sibling keys + tensor
+    rank), validating leaf names against the template node."""
+    if "weight_ih_l0" in leaves:
+        for tk, fk in (
+            ("weight_ih_l0", "kernel_ih"),
+            ("weight_hh_l0", "kernel_hh"),
+            ("bias_ih_l0", "bias_ih"),
+            ("bias_hh_l0", "bias_hh"),
+            ("weight_ih_l0_reverse", "kernel_ih_reverse"),
+            ("weight_hh_l0_reverse", "kernel_hh_reverse"),
+            ("bias_ih_l0_reverse", "bias_ih_reverse"),
+            ("bias_hh_l0_reverse", "bias_hh_reverse"),
+        ):
+            if tk in leaves:
+                v = leaves[tk]
+                col.add("params", path + (fk,), v.T if v.ndim == 2 else v)
+        return
+    if "running_mean" in leaves:
+        col.add("params", path + ("scale",), leaves["weight"])
+        col.add("params", path + ("bias",), leaves["bias"])
+        col.add("batch_stats", path + ("mean",), leaves["running_mean"])
+        col.add("batch_stats", path + ("var",), leaves["running_var"])
+        return
+    w = leaves.get("weight")
+    if w is None:
+        unmatched.append(prefix_str)
+        return
+    b = leaves.get("bias")
+    if not isinstance(node, dict):
+        # bare param leaf (embedding table, e.g. mu_eeg_lookup)
+        col.add("params", path, w)
+        return
+    if w.ndim == 3:
+        col.add("params", path + ("kernel",), w.transpose(2, 1, 0))
+    elif w.ndim == 4:
+        col.add("params", path + ("kernel",), w[:, 0, :, 0].T[:, None, :])
+    elif w.ndim == 2 and b is not None and b.ndim == 2:
+        col.add("params", path + ("scale",), w.T)
+        col.add("params", path + ("bias",), b.T)
+        return
+    elif w.ndim == 2:
+        col.add("params", path + ("kernel",), w.T)
+    else:  # 1-D LayerNorm
+        col.add("params", path + ("scale",), w)
+        if b is not None:
+            col.add("params", path + ("bias",), b)
+        return
+    if b is not None:
+        col.add("params", path + ("bias",), b)
+
+
+def convert_state_dict(
+    state_dict: Dict[str, Any], template: Dict[str, Any]
+) -> Tuple[Dict[str, Any], list]:
+    """Reference ``state_dict`` → flax variable trees, template-guided.
+
+    Returns ``(converted, unmatched_keys)`` where ``converted`` holds only
+    the leaves present in the checkpoint (merge over the template with
+    :func:`merge_variables`).
+    """
+    params_t = template.get("params", {})
+    col = _Collector()
+    unmatched: list = []
+    groups: Dict[Tuple[str, ...], Dict[str, np.ndarray]] = {}
+    for k, t in state_dict.items():
+        comps = k.split(".")
+        arr = _np(t) if hasattr(t, "detach") else np.asarray(t)
+        groups.setdefault(tuple(comps[:-1]), {})[comps[-1]] = arr
+
+    for prefix, leaves in groups.items():
+        if not prefix:  # root scalars: temperature, temperature_eeg
+            for name, v in leaves.items():
+                if name in params_t:
+                    col.add("params", (name,), v)
+                else:
+                    unmatched.append(name)
+            continue
+        if "memory" in leaves:  # memoryBank buffer → membank collection
+            col.add("membank", prefix + ("memory",), leaves["memory"])
+            continue
+        comps = _rewrite_comps(list(prefix))
+        node = _resolve_node(params_t, comps)
+        path = _resolve_path(params_t, comps)
+        if node is None or path is None:
+            unmatched.append(".".join(prefix))
+            continue
+        _emit_group(col, path, node, leaves, unmatched, ".".join(prefix))
+    return col.variables(), unmatched
+
+
+def merge_variables(
+    template: Dict[str, Any], converted: Dict[str, Any]
+) -> Tuple[Dict[str, Any], list]:
+    """Overlay converted leaves onto a deep copy of the template.
+
+    Shape-mismatched leaves are skipped (reported), mirroring the
+    reference's filter-unknown-keys partial load (ref :546-554).
+    """
+    skipped: list = []
+
+    def merge(tpl, conv, path):
+        if not isinstance(tpl, dict):
+            if isinstance(conv, dict):
+                skipped.append("/".join(path))
+                return tpl
+            if np.shape(conv) != np.shape(tpl):
+                skipped.append("/".join(path))
+                return tpl
+            return np.asarray(conv, dtype=np.asarray(tpl).dtype)
+        out = {}
+        for k, v in tpl.items():
+            if isinstance(conv, dict) and k in conv:
+                out[k] = merge(v, conv[k], path + (k,))
+            else:
+                out[k] = v
+        if isinstance(conv, dict):
+            for k in conv:
+                if k not in tpl:
+                    skipped.append("/".join(path + (k,)))
+        return out
+
+    merged = {
+        c: merge(template.get(c, {}), converted.get(c, {}), (c,))
+        for c in set(template) | set(converted)
+    }
+    return merged, skipped
+
+
+def load_torch_state_dict(source, template: Dict[str, Any]):
+    """One-call ingest: reference ``model.ckpt`` path (or a loaded
+    state_dict) + template variables → ``(merged_variables, report)``.
+
+    ``report`` lists checkpoint keys without a template match and template
+    leaves skipped for shape mismatch — empty for a faithful pair.
+    """
+    if isinstance(source, (str, os.PathLike)):
+        import torch
+
+        source = torch.load(source, map_location="cpu")
+    converted, unmatched = convert_state_dict(source, template)
+    merged, skipped = merge_variables(template, converted)
+    return merged, unmatched + skipped
 
 
 def load_torch_checkpoint(path: str, torch_model_factory) -> Dict[str, Any]:

@@ -339,3 +339,39 @@ def test_mm_challenge_eval_reference_oracle(tmp_path):
         np.testing.assert_allclose(
             np.asarray(topx[sub]), np.asarray(ref_topx[sub]), atol=1e-6
         )
+
+
+def test_sub_specific_falls_back_when_batched_probes_fail(
+    trained, tmp_path, monkeypatch
+):
+    """One pathological subject aborting the single fused probe program must
+    not kill all probes: the eval falls back to sequential per-subject
+    training (the reference's :759-763 resilience) and still writes results
+    + the loss_regression.txt log."""
+    import transformer_clip_eeg_tpu.eval.regression as reg
+
+    f = trained["files"]
+    rd = str(tmp_path / "fallback_run")
+    os.makedirs(rd, exist_ok=True)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected batched-probe failure")
+
+    monkeypatch.setattr(reg, "train_regression_probes_batched", boom)
+    orig_seq = reg.train_regression_probe
+    monkeypatch.setattr(
+        reg, "train_regression_probe",
+        lambda *a, **k: orig_seq(*a, **{**k, "epochs": 2}),
+    )
+
+    ev = evaluate_model_do_regression_sub_specific(
+        trained["trainer"].model, trained["trainer"].state.variables,
+        f["train_f"], f["val_f"], f["test_f"],
+        f["train_a"], f["val_a"], f["test_a"], rd, batch_size=8,
+    )
+    assert len(ev) == 3  # every subject still got a probe
+    assert os.path.exists(os.path.join(rd, "evaluation_regression.json"))
+    with open(os.path.join(rd, "error_regression.txt")) as fh:
+        assert "falling back to sequential" in fh.read()
+    with open(os.path.join(rd, "loss_regression.txt")) as fh:
+        assert "val_loss" in fh.read()  # sequential per-epoch stream

@@ -288,3 +288,85 @@ def test_cli_embed_and_retrieve(run_dir, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     got_shard = json.load(open(out_shard))
     assert got_shard["indices"] == got["indices"]
+
+
+def _membank_free_run_dir(tmp_path, bank_size):
+    """Run dir for a membank-free arch (clip_kld); bank_size persisted or
+    stripped to simulate a pre-r2 args.txt."""
+    import jax
+
+    from transformer_clip_eeg_tpu.serve import build_model_from_config
+    from transformer_clip_eeg_tpu.train.checkpoint import save_checkpoint
+    from transformer_clip_eeg_tpu.train.config import TrainConfig
+    from transformer_clip_eeg_tpu.train.state import (
+        init_train_state,
+        make_optimizer,
+    )
+
+    root = str(tmp_path)
+    cfg = TrainConfig(
+        model_arch="clip_kld", window_length_s=1, fs=T, attention_depth=1,
+        latent_dim=4, lstm_units=8, speech_dim_override=SP_D, batch_size=4,
+        bank_size=bank_size,
+    )
+    cfg.save(os.path.join(root, "args.txt"))
+    model = build_model_from_config(cfg, bank_size=13)
+    rng = np.random.default_rng(0)
+    eeg = rng.standard_normal((2, T, EEG_C)).astype(np.float32)
+    speech = rng.standard_normal((2, T, SP_D)).astype(np.float32)
+    ids = np.arange(1, 3, dtype=np.int32)
+    state = init_train_state(
+        model, jax.random.PRNGKey(0), (eeg, speech, ids),
+        make_optimizer("adamw", 1e-3),
+    )
+    ckpt_dir = os.path.join(root, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_checkpoint(ckpt_dir, state)
+    return root, state
+
+
+def test_membank_free_arch_uses_persisted_bank_size(tmp_path):
+    """clip_kld leaves no memory bank in the checkpoint; the session must
+    size the head from the persisted args.txt bank_size, making the rebuilt
+    model faithful (params load without structural mismatch)."""
+    root, state = _membank_free_run_dir(tmp_path, bank_size=13)
+    sess = InferenceSession.from_results_dir(root, chunk=2)
+    # the KLD class-prior table must have bank_size+1 rows, as trained
+    assert (
+        sess.variables["params"]["mu_eeg_lookup"].shape
+        == state.params["mu_eeg_lookup"].shape
+    )
+    eeg = np.random.default_rng(1).standard_normal((2, T, EEG_C)).astype(np.float32)
+    e = sess.embed_eeg(eeg)
+    assert np.all(np.isfinite(e))
+
+
+def test_membank_free_arch_without_bank_size_raises(tmp_path):
+    """Without a persisted bank_size there is nothing to size the head from
+    — a clear error beats silently rebuilding with bank_size=1."""
+    root, _ = _membank_free_run_dir(tmp_path, bank_size=0)
+    with pytest.raises(ValueError, match="bank_size"):
+        InferenceSession.from_results_dir(root, chunk=2)
+
+
+def test_cli_embed_rejects_both_inputs(run_dir, tmp_path):
+    """--eeg plus --speech in embed-only mode must error, not silently drop
+    the speech input."""
+    root, _, _ = run_dir
+    rng = np.random.default_rng(5)
+    eeg_path = os.path.join(tmp_path, "e.npy")
+    sp_path = os.path.join(tmp_path, "s.npy")
+    np.save(eeg_path, rng.standard_normal((2, T, EEG_C)).astype(np.float32))
+    np.save(sp_path, rng.standard_normal((2, T, SP_D)).astype(np.float32))
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; from transformer_clip_eeg_tpu.serve import main; "
+        f"sys.exit(main(['--results_folder', {root!r}, '--eeg', {eeg_path!r},"
+        f" '--speech', {sp_path!r}, '--out', {os.path.join(tmp_path, 'o.npy')!r}]))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"), cwd=REPO,
+    )
+    assert r.returncode != 0
+    assert "mutually exclusive" in r.stderr

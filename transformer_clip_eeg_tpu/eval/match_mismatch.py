@@ -37,13 +37,15 @@ def embed_in_chunks(
     """Apply a jitted embed fn in fixed-size padded chunks (one compile)."""
     n = data.shape[0]
     if n == 0:
-        # run one zero chunk so the empty result still has the embedding
-        # dim — callers matmul against it (e.g. RetrievalIndex)
-        out = np.asarray(
-            embed_fn(variables, np.zeros((chunk,) + data.shape[1:],
-                                         np.float32))
-        )
-        return out[:0]
+        # the empty result still needs the embedding dim — callers matmul
+        # against it (e.g. RetrievalIndex); eval_shape gets it without
+        # compiling or running the model
+        shape = jax.eval_shape(
+            embed_fn,
+            variables,
+            jax.ShapeDtypeStruct((chunk,) + data.shape[1:], np.float32),
+        ).shape
+        return np.zeros((0,) + shape[1:], np.float32)
     pad = (-n) % chunk
     if pad:
         data = np.concatenate([data, np.zeros((pad,) + data.shape[1:], data.dtype)])

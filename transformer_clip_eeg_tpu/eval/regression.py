@@ -404,6 +404,13 @@ def train_regression_probes_batched(
     per-subject early stopping (no updates after patience is exceeded) are
     all bit-for-bit the sequential procedure's.
 
+    Memory note: every subject is padded to the longest subject's window
+    count (rounded up to ``batch_size``), so the stacked tensors are
+    O(S × max_n) — one outlier subject inflates the whole stack.  At
+    SparrKULee scale (~85 subjects × ~1.5 h recordings) this is a few
+    hundred MB of f32 and well inside HBM; if real length skew ever makes
+    it a problem, bucket subjects by length into 2–3 stacked programs.
+
     Returns ``{subject: (params, best_val_loss)}``.
     """
     S = len(subjects)
@@ -510,14 +517,49 @@ def evaluate_model_do_regression_sub_specific(
     resolved_val = {
         sub: val_by_sub.get(sub, test_by_sub[sub]) for sub in subjects
     }
-    trained = train_regression_probes_batched(
-        subjects, train_by_sub, resolved_val
-    )
+    file_loss = os.path.join(result_folder, "loss_regression.txt")
+    try:
+        trained = train_regression_probes_batched(
+            subjects, train_by_sub, resolved_val
+        )
+    except Exception as e:  # noqa: BLE001
+        # one pathological subject aborts the single fused program — fall
+        # back to per-subject training so the rest still get probes, with
+        # the reference's per-subject resilience (ref :759-763)
+        printf(
+            f"batched probe training failed ({type(e).__name__}: {e}); "
+            "falling back to sequential per-subject training",
+            os.path.join(result_folder, "error_regression.txt"),
+        )
+        trained = {}
+        for sub in subjects:
+            try:
+                tr_emb, tr_env = train_by_sub[sub]
+                va_emb, va_env = resolved_val[sub]
+                trained[sub] = train_regression_probe(
+                    tr_emb, tr_env, va_emb, va_env, loss_file=file_loss
+                )
+            except Exception as se:  # noqa: BLE001
+                printf(
+                    f"error with subject {sub}",
+                    os.path.join(result_folder, "error_regression.txt"),
+                )
+                printf(
+                    str(se),
+                    os.path.join(result_folder, "error_regression.txt"),
+                )
+        subjects = [s for s in subjects if s in trained]
 
     for sub in subjects:
         try:
             print(f"subject {sub}")
             probe_params, _best_val = trained[sub]
+            # the reference streams per-epoch probe losses to
+            # loss_regression.txt (ref :628-651); the fused program can't
+            # stream, so record the per-subject outcome instead
+            printf(
+                f"subject {sub} probe best val loss {_best_val}", file_loss
+            )
             save_params_only(
                 os.path.join(
                     result_folder, "sub_specific", f"regression_model_{sub}"
@@ -640,20 +682,25 @@ def hann_overlap_add(
 
     ``predictions`` is ``[n_windows, time_window]`` from 50%-overlap windows;
     the first half of the first window and the last half of the last window
-    get unit weight so the reconstruction is exact at the boundaries."""
-    n = predictions.shape[0]
-    # torch.hann_window(N) is periodic — 0.5*(1-cos(2πk/N)) — unlike
-    # np.hanning; match torch exactly
-    hann = 0.5 * (1 - np.cos(2 * np.pi * np.arange(time_window) / time_window))
-    hann = np.tile(hann, (n, 1))
-    hann[0, : time_window // 2] = 1.0
-    hann[-1, time_window // 2 :] = 1.0
-    weighted = predictions * hann
-    out = np.zeros(time_dim, dtype=np.float64)
-    hop = time_window // 2
-    for j in range(n):
-        out[j * hop : j * hop + time_window] += weighted[j]
-    return out
+    get unit weight so the reconstruction is exact at the boundaries.
+    Thin host wrapper over the device scatter-add
+    (``ops.windowing.overlap_add_hann``)."""
+    from transformer_clip_eeg_tpu.ops.windowing import overlap_add_hann
+
+    return np.asarray(
+        overlap_add_hann(jnp.asarray(predictions), time_dim, time_window)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _overlap_add_trials(preds, time_dim: int, time_window: int):
+    """Per-trial overlap-add in one dispatch: ``[n_trials, n_win, wl]`` →
+    ``[n_trials, time_dim]`` (vmapped ``ops.windowing.overlap_add_hann``)."""
+    from transformer_clip_eeg_tpu.ops.windowing import overlap_add_hann
+
+    return jax.vmap(lambda p: overlap_add_hann(p, time_dim, time_window))(
+        preds
+    )
 
 
 def _pearson_np(x: np.ndarray, y: np.ndarray) -> float:
@@ -726,10 +773,10 @@ def evaluate_model_challenge_2023_regression(
         if data_eeg.ndim == 2:
             data_eeg = data_eeg[None]
         # trial-layout contract (ref :255-261): trials × time × channels,
-        # MVN over (trial, time)
-        data_eeg_mvn = (
-            data_eeg - np.mean(data_eeg, axis=(0, 1), keepdims=True)
-        ) / np.std(data_eeg, axis=(0, 1), keepdims=True)
+        # MVN over (trial, time) — the on-device eval normalization op
+        from transformer_clip_eeg_tpu.ops.windowing import mvn_normalize
+
+        data_eeg_mvn = np.asarray(jax.jit(mvn_normalize)(data_eeg))
 
         # 50%-overlap windows, drop ragged last (ref :262)
         hop = time_window // 2
@@ -745,22 +792,27 @@ def evaluate_model_challenge_2023_regression(
         if os.path.exists(sub_probe_path):
             sub_probe_params = restore_params_only(sub_probe_path)
 
-        final_outputs = []
-        final_outputs_sub = []
-        for i in range(windows.shape[0]):
-            emb = embed_in_chunks(encode_eeg, variables, windows[i])
-            emb = match_time_length(emb, time_window)
-            pred = np.asarray(probe_model.apply(general_params, jnp.asarray(emb)))
-            pred = np.squeeze(pred, axis=-1)  # [n_win, wl]
-            final_outputs.append(hann_overlap_add(pred, time_window, time_dim))
-            if sub_probe_params is not None:
-                pred_s = np.asarray(
-                    probe_model.apply(sub_probe_params, jnp.asarray(emb))
-                )
-                pred_s = np.squeeze(pred_s, axis=-1)
-                final_outputs_sub.append(
-                    hann_overlap_add(pred_s, time_window, time_dim)
-                )
+        # all trials batched through one embed/predict/overlap-add pipeline
+        # (the reference loops trials on the host, ref :265-305)
+        nt, nw = windows.shape[0], windows.shape[1]
+        flat = windows.reshape((nt * nw,) + windows.shape[2:])
+        emb = embed_in_chunks(encode_eeg, variables, flat)
+        emb = match_time_length(emb, time_window)
+        emb = jnp.asarray(emb)
+
+        def reconstruct(params):
+            pred = probe_model.apply(params, emb)  # [nt*nw, wl, 1]
+            pred = jnp.squeeze(pred, -1).reshape(nt, nw, time_window)
+            return np.asarray(
+                _overlap_add_trials(pred, time_dim, time_window)
+            )
+
+        final_outputs = list(reconstruct(general_params))
+        final_outputs_sub = (
+            list(reconstruct(sub_probe_params))
+            if sub_probe_params is not None
+            else []
+        )
 
         labels_in_order = [labels_regression[x] for x in id_list]
         pearson_corr = [

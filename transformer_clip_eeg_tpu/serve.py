@@ -155,9 +155,21 @@ class InferenceSession:
 
         membank = payload.get("membank") or {}
         bank_leaves = jax.tree.leaves(membank)  # nested by module path
-        bank_size = (
-            int(bank_leaves[0].shape[0]) - 1 if bank_leaves else 1
-        )
+        if getattr(cfg, "bank_size", 0):
+            # the Trainer persists its derived sizing in args.txt — the
+            # only faithful source for membank-free archs (clip_kld*,
+            # no_contrastive_learning), whose class-count sizing leaves no
+            # trace in the checkpoint
+            bank_size = int(cfg.bank_size)
+        elif bank_leaves:
+            bank_size = int(bank_leaves[0].shape[0]) - 1
+        else:
+            raise ValueError(
+                f"cannot size the {cfg.model_arch!r} head: args.txt has no "
+                "bank_size (pre-r2 run?) and the checkpoint holds no memory "
+                "bank to infer it from; add \"bank_size\": <number of "
+                "stimulus segments> to args.txt"
+            )
         model = build_model_from_config(cfg, bank_size)
 
         variables = {"params": payload["params"]}
@@ -374,6 +386,11 @@ def main(argv=None) -> int:
               f"to {args.out}")
         return 0
 
+    if args.eeg and args.speech:
+        ap.error(
+            "--eeg and --speech are mutually exclusive in embed-only mode "
+            "(use --topk with --eeg/--candidates for retrieval)"
+        )
     if args.eeg:
         emb = sess.embed_eeg(np.load(args.eeg), normalize=args.mvn)
     elif args.speech:

@@ -96,6 +96,11 @@ class TrainConfig:
     # 0 = single device; N = N-way data-parallel ('data') mesh.  Persisted
     # so --only_evaluate / cv reloads reconstruct the mesh the run used.
     n_data_shards: int = 0
+    # memory-bank / class-count sizing the Trainer derived from the dataset
+    # (ref train_clip_final.py:367-372); 0 = not yet derived.  Persisted so
+    # serving can rebuild the exact head without the dataset (membank-free
+    # archs leave no bank in the checkpoint to infer it from).
+    bank_size: int = 0
     # write a jax.profiler trace of the first training epoch here
     profile_dir: str = ""
 

@@ -156,7 +156,6 @@ class Trainer:
         self.checkpoint_dir = os.path.join(self.results_dir, "checkpoints")
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         self.loss_file = os.path.join(self.results_dir, "loss.txt")
-        config.save(os.path.join(self.results_dir, "args.txt"))
 
         cfg = config
         # memory-bank sizing (ref train_clip_final.py:367-372)
@@ -165,6 +164,11 @@ class Trainer:
             # the reference's val dataset restarts ids at 1 and shares the
             # bank; sizing by the max id seen keeps every update in range
             bank_size = max(bank_size, val_dataset.get_number_of_stimuli_segments())
+        # persist the derived sizing so serving rebuilds the exact head
+        # without the dataset (membank-free archs leave nothing in the
+        # checkpoint to infer it from)
+        config.bank_size = bank_size
+        config.save(os.path.join(self.results_dir, "args.txt"))
         eeg_enc = load_eeg_encoder(
             cfg.eeg_encoder,
             cfg.lstm_units,

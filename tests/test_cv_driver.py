@@ -39,3 +39,44 @@ def test_cv_driver_single_fold(tmp_path):
         summary = json.load(f)
     assert "0" in summary["folds"]
     assert "mm_accuracy_mean" in summary["folds"]["0"]
+
+
+def test_cv_driver_parallel_folds(tmp_path):
+    """--parallel yes: both folds train in one vmapped program, then each
+    fold's eval suite writes JSONs into results/fold_{f}/ and the summary
+    aggregates them."""
+    root = str(tmp_path / "data")
+    make_fixture(root, n_stories=3, n_subjects=2, story_seconds=45, speech_dim=8)
+    results = str(tmp_path / "results")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import transformer_clip_eeg_tpu.eval.regression as reg;"
+        "_orig=reg.train_regression_probes_batched;"
+        "reg.train_regression_probes_batched="
+        "lambda *a,**k: _orig(*a,**{**k,'epochs':2});"
+        "from transformer_clip_eeg_tpu.cv import main;"
+        "import sys; sys.exit(main(["
+        "'--folds','0','1','--parallel','yes',"
+        "'--data_dir', r'%s', '--results_folder', r'%s',"
+        "'--epochs','1','--batch_size','4',"
+        "'--attention_depth','1','--latent_dim','4','--lstm_units','8',"
+        "'--speech_dim_override','8','--number_of_training_subjects','2'"
+        "]))"
+    ) % (root, results)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=1500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    with open(os.path.join(results, "cv_summary.json")) as f:
+        summary = json.load(f)
+    assert set(summary["folds"]) == {"0", "1"}
+    for fold in ("0", "1"):
+        d = os.path.join(results, f"fold_{fold}")
+        assert os.path.exists(os.path.join(d, "args.txt"))
+        assert os.path.exists(
+            os.path.join(d, "evaluation_challenge_set_2023_mm.json")
+        )
+        assert "mm_accuracy_mean" in summary["folds"][fold]
+    assert summary["mm_accuracy_mean_over_folds"] is not None

@@ -1,0 +1,165 @@
+"""Fold-parallel CV training: vmap correctness + fold isolation."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformer_clip_eeg_tpu.data.dataset import EEGWindowDataset
+from transformer_clip_eeg_tpu.data.discovery import get_train_val_test_files_final
+from transformer_clip_eeg_tpu.data.fixtures import make_fixture
+from transformer_clip_eeg_tpu.train import TrainConfig
+from transformer_clip_eeg_tpu.train.fold_parallel import (
+    FoldParallelTrainer,
+    make_fold_scan_step,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sparrkulee_folds"))
+    # 4 stories → folds 0/1/2 hold one story each + one 2023 test story
+    make_fixture(root, n_stories=4, n_subjects=3, story_seconds=60,
+                 speech_dim=16)
+    return root
+
+
+def _cfg(root, **overrides):
+    defaults = dict(
+        data_dir=root, batch_size=8, epochs=2, patience=5,
+        attention_depth=1, latent_dim=4, lstm_units=8,
+        number_of_training_subjects=3, speech_dim_override=16,
+    )
+    defaults.update(overrides)
+    return TrainConfig(**defaults)
+
+
+def _union(root, cfg):
+    files = get_train_val_test_files_final(
+        root, 0, cfg.stimulus_features, cfg.fold_split_path,
+        cfg.number_of_training_subjects,
+    )
+    return files[0] + files[1], files[4] + files[5]
+
+
+def test_fold_scan_step_matches_unvmapped_base(fixture_root):
+    """One fold-stacked scan step (F=2, identical folds) must reproduce the
+    proven single-fold chunk-scan step exactly."""
+    from transformer_clip_eeg_tpu.train.device_data import DeviceChunkStore
+    from transformer_clip_eeg_tpu.train.state import (
+        init_train_state, make_optimizer,
+    )
+    from transformer_clip_eeg_tpu.train.steps import make_chunk_scan_step
+
+    cfg = _cfg(fixture_root)
+    union_f, union_a = _union(fixture_root, cfg)
+    ds = EEGWindowDataset(union_f, union_a, 192, 192, batch_size=8, seed=0)
+    store = DeviceChunkStore(ds)
+    key = ds.batches_keys[0]
+    eeg_d, sp_d, ids_d, n_subs, _ = store.get(key)
+    idx_m, subs_m = ds.create_eeg_indices(ds.chunks[key]["eeg"])
+    idx_m = idx_m.astype(np.int32)
+    subs_m = subs_m.astype(np.int32)
+    n = idx_m.shape[0]
+
+    from transformer_clip_eeg_tpu.models.registry import (
+        build_model, load_eeg_encoder, load_speech_encoder,
+    )
+
+    model = build_model(
+        cfg.model_arch,
+        load_eeg_encoder(cfg.eeg_encoder, cfg.lstm_units,
+                         cfg.spatial_filters, cfg.number_conv_layers,
+                         cfg.window_length, cfg.latent_dim,
+                         cfg.attention_depth),
+        load_speech_encoder(cfg.speech_encoder, cfg.lstm_units,
+                            cfg.spatial_filters, cfg.number_conv_layers,
+                            cfg.window_length, cfg.stride_temporal,
+                            cfg.speech_dimension, cfg.latent_dim),
+        window_length=cfg.window_length, temperature=cfg.temperature,
+        latent_dim=cfg.latent_dim,
+        bank_size=ds.get_number_of_stimuli_segments(),
+        lambda_clip_loss=1.0, lambda_sim_loss=0.0, momentum_membank=0.9,
+    )
+    feature = ds.features_to_load[0]
+    chunk = ds.chunks[key]
+    example = (
+        chunk["eeg"][0, :8].astype(np.float32),
+        chunk[feature][:8].astype(np.float32),
+        np.asarray(chunk["identifiers"][:8], np.int32),
+    )
+    tx = make_optimizer("adamw", 1e-3)
+    state0 = init_train_state(model, jax.random.PRNGKey(0), example, tx)
+    rng = jax.random.PRNGKey(7)
+
+    base_scan = make_chunk_scan_step(cfg.model_arch, donate=False)
+    base_state, base_losses = base_scan(
+        state0, eeg_d, sp_d, ids_d, idx_m, subs_m, subs_m,
+        np.ones(n, bool), rng, warmup=False,
+    )
+
+    F = 2
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (F,) + x.shape).copy(), state0
+    )
+    tile = lambda m: np.broadcast_to(m[:, None], (n, F) + m.shape[1:]).copy()
+    fold_scan = make_fold_scan_step(cfg.model_arch, donate=False)
+    fold_states, fold_losses = fold_scan(
+        stacked, eeg_d, sp_d, ids_d, tile(idx_m), tile(subs_m),
+        tile(subs_m), np.ones((n, F), bool), rng, warmup=False,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(fold_losses["loss_ce"])[:, 0],
+        np.asarray(base_losses["loss_ce"]), rtol=2e-5, atol=2e-5,
+    )
+    for j in range(F):
+        jax.tree.map(
+            lambda a, b, _j=j: np.testing.assert_allclose(
+                np.asarray(a)[_j], np.asarray(b), rtol=3e-4, atol=3e-4
+            ),
+            fold_states.params, base_state.params,
+        )
+
+
+@pytest.mark.slow
+def test_fold_parallel_isolates_folds(fixture_root, tmp_path):
+    """Per-fold numerics in a concurrent 2-fold run must equal each fold
+    trained alone under the same schedule (folds must not interfere through
+    the stacked state, the shared chunk order, or the masking)."""
+    cfg = _cfg(fixture_root, epochs=2)
+    union_f, union_a = _union(fixture_root, cfg)
+
+    both = FoldParallelTrainer(
+        cfg, [0, 1], union_f, union_a, str(tmp_path / "both")
+    )
+    out_both = both.fit()
+
+    for j, fold in enumerate([0, 1]):
+        solo = FoldParallelTrainer(
+            cfg, [fold], union_f, union_a, str(tmp_path / f"solo{fold}")
+        )
+        out_solo = solo.fit()
+        for e_both, e_solo in zip(out_both["history"], out_solo["history"]):
+            np.testing.assert_allclose(
+                e_both["val_loss_ce"][j], e_solo["val_loss_ce"][0],
+                rtol=2e-5, atol=2e-5,
+            )
+            np.testing.assert_allclose(
+                e_both["train_loss_ce"][j], e_solo["train_loss_ce"][0],
+                rtol=2e-5, atol=2e-5,
+            )
+        jax.tree.map(
+            lambda a, b, _j=j: np.testing.assert_allclose(
+                np.asarray(a)[_j], np.asarray(b)[0], rtol=5e-4, atol=5e-4
+            ),
+            both.best_states.params, solo.best_states.params,
+        )
+
+    # per-fold run dirs carry args.txt (with the fold's run id) + checkpoint
+    for fold, d in zip([0, 1], out_both["fold_dirs"]):
+        loaded = TrainConfig.load(os.path.join(d, "args.txt"))
+        assert loaded.run == fold
+        assert os.path.isdir(os.path.join(d, "checkpoints", "model_ckpt"))

@@ -7,6 +7,11 @@ aggregates the per-fold evaluation JSONs into ``cv_summary.json``.
 
 Run: ``python -m transformer_clip_eeg_tpu.cv --data_dir <sparrkulee>
 --folds 0 1 2 3 4 [any train_clip flags]``
+
+``--parallel yes`` trains ALL requested folds concurrently in one vmapped
+program (``train/fold_parallel.py``) — the per-fold model is far too small
+to saturate a chip alone, so fold-parallelism multiplies aggregate
+throughput — then runs the per-fold eval suites sequentially.
 """
 
 from __future__ import annotations
@@ -19,29 +24,95 @@ import sys
 from typing import Dict, List
 
 
+def _run_parallel(folds: List[int], results_folder: str, passthrough) -> Dict[int, str]:
+    """Train all folds concurrently; returns {fold: run_dir}."""
+    import dataclasses
+    import types
+
+    from transformer_clip_eeg_tpu.cli import build_arg_parser, run_eval_suite
+    from transformer_clip_eeg_tpu.data.discovery import (
+        get_train_val_test_files_final,
+    )
+    from transformer_clip_eeg_tpu.train.config import TrainConfig
+    from transformer_clip_eeg_tpu.train.fold_parallel import (
+        FoldParallelTrainer,
+    )
+
+    targs = build_arg_parser().parse_args(list(passthrough))
+    known = {f.name for f in dataclasses.fields(TrainConfig)}
+    cfg = TrainConfig(
+        **{k: v for k, v in vars(targs).items() if k in known}
+    )
+    cfg.results_folder = results_folder
+
+    files0 = get_train_val_test_files_final(
+        cfg.data_dir, folds[0], cfg.stimulus_features, cfg.fold_split_path,
+        cfg.number_of_training_subjects, debug=cfg.is_debug,
+    )
+    union_f, union_a = files0[0] + files0[1], files0[4] + files0[5]
+    trainer = FoldParallelTrainer(
+        cfg, folds, union_f, union_a, results_folder
+    )
+    out = trainer.fit()
+    print(
+        f"fold-parallel training done: best val loss_ce {out['best_loss']}"
+    )
+
+    fold_dirs: Dict[int, str] = {}
+    for fold, d in zip(folds, out["fold_dirs"]):
+        fold_dirs[fold] = d
+        if targs.skip_eval == "yes":
+            continue
+        files = get_train_val_test_files_final(
+            cfg.data_dir, fold, cfg.stimulus_features, cfg.fold_split_path,
+            cfg.number_of_training_subjects, debug=cfg.is_debug,
+        )
+        shim = types.SimpleNamespace(
+            model=trainer.model, state=trainer.fold_state(fold)
+        )
+        fold_cfg = TrainConfig(**{**cfg.to_dict(), "run": fold})
+        run_eval_suite(
+            shim, fold_cfg, d,
+            files[0], files[1], files[2], files[4], files[5], files[6],
+        )
+    return fold_dirs
+
+
 def main(argv=None) -> int:
+    from transformer_clip_eeg_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
     from transformer_clip_eeg_tpu.cli import main as train_main
 
     parser = argparse.ArgumentParser(add_help=False)
     parser.add_argument("--folds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
     parser.add_argument("--results_folder", type=str, default="results")
+    parser.add_argument("--parallel", type=str, default="no",
+                        choices=["yes", "no"])
     args, passthrough = parser.parse_known_args(argv)
 
     fold_dirs: Dict[int, str] = {}
-    for fold in args.folds:
-        print(f"=== fold {fold} ===")
-        before = set(glob.glob(os.path.join(args.results_folder, "results_*")))
-        rc = train_main(
-            ["--run", str(fold), "--results_folder", args.results_folder]
-            + list(passthrough)
+    if args.parallel == "yes":
+        fold_dirs = _run_parallel(
+            args.folds, args.results_folder, passthrough
         )
-        if rc != 0:
-            print(f"fold {fold} failed with code {rc}")
-            return rc
-        after = set(glob.glob(os.path.join(args.results_folder, "results_*")))
-        new = sorted(after - before)
-        if new:
-            fold_dirs[fold] = new[-1]
+    else:
+        for fold in args.folds:
+            print(f"=== fold {fold} ===")
+            before = set(glob.glob(os.path.join(args.results_folder, "results_*")))
+            rc = train_main(
+                ["--run", str(fold), "--results_folder", args.results_folder]
+                + list(passthrough)
+            )
+            if rc != 0:
+                print(f"fold {fold} failed with code {rc}")
+                return rc
+            after = set(glob.glob(os.path.join(args.results_folder, "results_*")))
+            new = sorted(after - before)
+            if new:
+                fold_dirs[fold] = new[-1]
 
     summary: Dict[str, Dict] = {}
     for fold, rd in fold_dirs.items():

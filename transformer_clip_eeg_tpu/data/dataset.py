@@ -252,10 +252,14 @@ class EEGWindowDataset:
 
     # -- batch index sampling (exact reference semantics) -------------------
 
-    def create_eeg_indices(self, eeg: np.ndarray):
+    def create_eeg_indices(self, eeg: np.ndarray, rng=None):
         """Per-chunk sampling (ref dataset_loader.py:436-464): per subject,
         ``bs`` window indices without replacement; optional cross-subject
-        permutation of the first ``bs * shuffle_percentage`` columns."""
+        permutation of the first ``bs * shuffle_percentage`` columns.
+
+        ``rng``: alternate numpy Generator (fold-parallel training keeps one
+        sampling stream per fold); defaults to the dataset's own."""
+        rng = rng if rng is not None else self.rng
         n_subs, len_batch = eeg.shape[0], eeg.shape[1]
         bs = self.batch_size
         if len_batch < bs:
@@ -269,14 +273,14 @@ class EEGWindowDataset:
                 "an exact multiple of hop*(batch_size-1)+window"
             )
         speech_idx = np.stack(
-            [self.rng.choice(len_batch, bs, replace=False) for _ in range(n_subs)]
+            [rng.choice(len_batch, bs, replace=False) for _ in range(n_subs)]
         )
         subs_per_batch = np.repeat(range(n_subs), bs).reshape(n_subs, bs)
         if self.shuffle_subs:
             half_len = int(bs * self.shuffle_percentage)
             subs_per_batch = np.concatenate(
                 [
-                    self.rng.permuted(subs_per_batch[:, :half_len], axis=0),
+                    rng.permuted(subs_per_batch[:, :half_len], axis=0),
                     subs_per_batch[:, half_len:],
                 ],
                 axis=1,

@@ -1,0 +1,476 @@
+"""Fold-parallel cross-validation training: all folds in one vmapped program.
+
+The reference trains one CV fold per invocation (``--run`` selects the
+validation story fold, ref ``train_clip_final.py:168``; folds defined by
+``fold_split.json``) — a 5-fold sweep is five sequential runs.  On TPU the
+flagship model (<10 M params, batch 128) leaves the chip underutilized
+(single-model throughput is flat beyond batch 128 — PERF.md batch table), so
+fold-parallelism is the scaling axis that actually buys throughput: the
+per-fold train step is ``vmap``-ed over a stacked fold axis and every
+dispatch trains ALL folds at once.
+
+Design:
+
+* ONE union dataset holds every story of CV folds 0–8 (each fold's train
+  set is the union minus its val stories, ref
+  ``train_clip_helper_functions.py:392-398``), chunked/windowed once and
+  uploaded to the device once via ``DeviceChunkStore``.
+* The epoch walks a SHARED shuffled chunk order.  For each chunk, each fold
+  draws its own batch indices with its own sampling rng (exact reference
+  sampling semantics, ``dataset.create_eeg_indices``) **iff** the chunk's
+  story is in that fold's train split; other folds are masked out with the
+  same valid-row state-revert mechanism the chunk-scan step uses.
+* States (params, optimizer, memory bank, batch stats) are stacked ``[F,
+  ...]``; one ``lax.scan`` over the chunk's batch list with a ``vmap`` over
+  folds inside runs the whole chunk for every fold in ONE dispatch.
+* Validation runs the same way over each fold's val chunks (memory bank
+  still EMA-updates, gated per fold, as the reference's eval forward does).
+* Per-fold early stopping freezes a finished fold (its valid mask goes
+  False — state stops changing) while the others train on; per-fold
+  best-on-val-CE states are kept stacked and unstacked into per-fold
+  results dirs at the end (``results_root/fold_{f}/`` with ``args.txt``,
+  ``loss.txt``, ``checkpoints/``).
+
+Semantics note vs sequential ``Trainer``: segment identifiers are numbered
+over the union dataset, so validation memory-bank updates land on the val
+stories' own rows.  The sequential path numbers train and val datasets
+independently (ids restart at 1, ref ``dataset_loader.py:270-272``), so its
+val updates collide with train rows — a reference quirk this trainer does
+not reproduce.  Within the fold-parallel schedule, per-fold numerics are
+identical to running each fold alone (``tests/test_fold_parallel.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_clip_eeg_tpu.data.dataset import EEGWindowDataset
+from transformer_clip_eeg_tpu.train import checkpoint as ckpt_lib
+from transformer_clip_eeg_tpu.train.config import TrainConfig
+from transformer_clip_eeg_tpu.train.device_data import (
+    DeviceChunkStore,
+    gather_batch,
+)
+from transformer_clip_eeg_tpu.train.loop import printf
+from transformer_clip_eeg_tpu.train.schedulers import make_scheduler
+from transformer_clip_eeg_tpu.train.state import (
+    count_params,
+    init_train_state,
+    make_optimizer,
+)
+from transformer_clip_eeg_tpu.train.steps import (
+    make_eval_step,
+    make_train_step,
+)
+
+Array = jax.Array
+
+
+def _select(valid_f: Array, new, old):
+    """Per-fold state select: keep ``new`` where ``valid_f`` (shape [F])."""
+    return jax.tree.map(
+        lambda a, b: jnp.where(
+            valid_f.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+        ),
+        new,
+        old,
+    )
+
+
+def make_fold_scan_step(
+    model_arch: str,
+    augmentations: Sequence[str] = (),
+    augmentation_probability: float = 0.5,
+    add_eeg: bool = False,
+    donate: bool = True,
+    compute_dtype=None,
+) -> callable:
+    """All folds × all of a chunk's batches in ONE dispatch.
+
+    ``step(states, eeg_chunk, speech_chunk, ids_chunk, idx_mat [n, F, bs],
+    subs_mat [n, F, bs], partner_mat [n, F, bs], valid [n, F], rng, warmup)
+    -> (states, losses {k: [n, F]})`` where ``states`` is a fold-stacked
+    :class:`TrainState`.  ``valid[i, f] == 0`` runs fold f's step but keeps
+    its pre-step state (row padding / fold not training on this chunk).
+    """
+    base = make_train_step(
+        model_arch,
+        augmentations,
+        augmentation_probability,
+        add_eeg,
+        donate=False,
+        compute_dtype=compute_dtype,
+    )
+
+    def scan_step(
+        states, eeg_chunk, speech_chunk, ids_chunk, idx_mat, subs_mat,
+        partner_mat, valid, rng, warmup: bool,
+    ):
+        def body(sts, inp):
+            idx, subs, partner, v = inp  # [F, bs], [F]
+
+            def per_fold(st, idx_f, subs_f, partner_f):
+                batch = gather_batch(
+                    eeg_chunk, speech_chunk, ids_chunk, idx_f, subs_f,
+                    add_eeg=add_eeg, partner=partner_f,
+                )
+                return base(st, batch, rng, warmup=warmup)
+
+            new_sts, losses = jax.vmap(per_fold)(sts, idx, subs, partner)
+            return _select(v, new_sts, sts), losses
+
+        return jax.lax.scan(
+            body, states, (idx_mat, subs_mat, partner_mat, valid)
+        )
+
+    return jax.jit(
+        scan_step,
+        static_argnames=("warmup",),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_fold_eval_scan_step(
+    model_arch: str, donate: bool = True
+) -> callable:
+    """Validation twin of :func:`make_fold_scan_step` (no grads; memory bank
+    still updates, gated per fold by ``valid``)."""
+    base = make_eval_step(model_arch, donate=False)
+
+    def scan_step(states, eeg_chunk, speech_chunk, ids_chunk, idx_mat,
+                  subs_mat, valid):
+        def body(sts, inp):
+            idx, subs, v = inp
+
+            def per_fold(st, idx_f, subs_f):
+                batch = gather_batch(
+                    eeg_chunk, speech_chunk, ids_chunk, idx_f, subs_f
+                )
+                return base(st, batch)
+
+            new_sts, losses = jax.vmap(per_fold)(sts, idx, subs)
+            return _select(v, new_sts, sts), losses
+
+        return jax.lax.scan(body, states, (idx_mat, subs_mat, valid))
+
+    return jax.jit(scan_step, donate_argnums=(0,) if donate else ())
+
+
+def _story_of_chunk_key(key: str) -> str:
+    return key.rsplit("_batch_", 1)[0]
+
+
+class FoldParallelTrainer:
+    """Train several CV folds concurrently on one chip.
+
+    ``cfg.run`` is ignored; ``folds`` lists the validation folds to train
+    (e.g. ``[0, 1, 2, 3, 4]``).  ``union_files``/``union_audio`` must cover
+    every story of CV folds 0–8 (train ∪ val of any single fold).
+    """
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        folds: Sequence[int],
+        union_files: Sequence[str],
+        union_audio: Sequence[str],
+        results_root: str,
+        row_bucket: int = 8,
+    ):
+        self.cfg = cfg
+        self.folds = list(folds)
+        F = len(self.folds)
+        self.results_root = results_root
+        self.row_bucket = row_bucket
+        os.makedirs(results_root, exist_ok=True)
+
+        with open(cfg.fold_split_path) as f:
+            split = json.load(f)
+        self.val_stories: List[set] = [set(split[str(f_)]) for f_ in folds]
+        all_stories = [s for x in range(9) for s in split[str(x)]]
+        self.train_stories: List[set] = [
+            set(all_stories) - vs for vs in self.val_stories
+        ]
+
+        self.dataset = EEGWindowDataset(
+            union_files,
+            union_audio,
+            cfg.window_length,
+            cfg.hop_length,
+            batch_size=cfg.batch_size,
+            shuffle=cfg.shuffle_b,
+            shuffle_percentage=cfg.shuffle_percentage,
+            addEEG=cfg.addEEG_b,
+            data_augmentation=cfg.augmentations,
+            data_augmentation_probability=cfg.data_augmentation_percentage,
+            seed=cfg.seed,
+        )
+        self.store = DeviceChunkStore(self.dataset)
+        # one sampling stream per fold, mirroring each sequential run's
+        # dataset rng; plus a shared stream for the chunk order and mixup
+        self.fold_rngs = [np.random.default_rng(cfg.seed) for _ in folds]
+        self.shared_rng = np.random.default_rng(cfg.seed)
+
+        self.fold_dirs = []
+        for f_ in folds:
+            d = os.path.join(results_root, f"fold_{f_}")
+            os.makedirs(os.path.join(d, "checkpoints"), exist_ok=True)
+            fold_cfg = TrainConfig(**{**cfg.to_dict(), "run": f_})
+            fold_cfg.bank_size = self.dataset.get_number_of_stimuli_segments()
+            fold_cfg.save(os.path.join(d, "args.txt"))
+            self.fold_dirs.append(d)
+        self.loss_file = os.path.join(results_root, "loss.txt")
+
+        # model + stacked state
+        from transformer_clip_eeg_tpu.models.registry import (
+            build_model,
+            load_eeg_encoder,
+            load_speech_encoder,
+        )
+
+        bank_size = self.dataset.get_number_of_stimuli_segments()
+        eeg_enc = load_eeg_encoder(
+            cfg.eeg_encoder, cfg.lstm_units, cfg.spatial_filters,
+            cfg.number_conv_layers, cfg.window_length, cfg.latent_dim,
+            cfg.attention_depth,
+        )
+        speech_enc = load_speech_encoder(
+            cfg.speech_encoder, cfg.lstm_units, cfg.spatial_filters,
+            cfg.number_conv_layers, cfg.window_length, cfg.stride_temporal,
+            cfg.speech_dimension, cfg.latent_dim,
+        )
+        self.model = build_model(
+            cfg.model_arch, eeg_enc, speech_enc,
+            window_length=cfg.window_length, temperature=cfg.temperature,
+            latent_dim=cfg.latent_dim, bank_size=bank_size,
+            lambda_clip_loss=cfg.lambda_clip_loss,
+            lambda_sim_loss=cfg.lambda_sim_loss,
+            momentum_membank=cfg.momentum_membank,
+        )
+        self.tx = make_optimizer(
+            cfg.optimizer, cfg.learning_rate, cfg.beta1, cfg.beta2,
+            cfg.weight_decay, cfg.amsgrad_b,
+        )
+        self.schedulers = [
+            make_scheduler(cfg.lr_scheduler, cfg.learning_rate,
+                           cfg.step_size_scheduler)
+            for _ in folds
+        ]
+
+        feature = self.dataset.features_to_load[0]
+        some_chunk = next(
+            c for c in self.dataset.chunks.values()
+            if "eeg" in c and feature in c
+        )
+        example = (
+            some_chunk["eeg"][0, : cfg.batch_size].astype(np.float32),
+            some_chunk[feature][: cfg.batch_size].astype(np.float32),
+            np.asarray(some_chunk["identifiers"][: cfg.batch_size], np.int32),
+        )
+        # all folds share the init (the reference reuses one seed per fold)
+        state0 = init_train_state(
+            self.model, jax.random.PRNGKey(cfg.seed), example, self.tx
+        )
+        self.states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (F,) + x.shape).copy(), state0
+        )
+
+        compute_dtype = (
+            cfg.compute_dtype if cfg.compute_dtype != "float32" else None
+        )
+        self.train_scan = make_fold_scan_step(
+            cfg.model_arch, cfg.augmentations,
+            cfg.data_augmentation_percentage, cfg.addEEG_b,
+            compute_dtype=compute_dtype,
+        )
+        self.eval_scan = make_fold_eval_scan_step(cfg.model_arch)
+
+        printf(
+            f"fold-parallel over folds {self.folds}: "
+            f"{count_params(state0.params)} params x {F} folds",
+            self.loss_file,
+        )
+
+    # -- schedule assembly --------------------------------------------------
+
+    def _chunk_rows(self, key: str, participate: np.ndarray, add_eeg: bool):
+        """Index matrices for one chunk: ``(idx [n_pad, F, bs], subs, partner,
+        valid [n_pad, F])`` with each participating fold sampling via its own
+        rng; ``n_pad`` rounds the subject count up to ``row_bucket``."""
+        chunk = self.dataset.chunks[key]
+        eeg = chunk["eeg"]
+        n, F = eeg.shape[0], len(self.folds)
+        bs = self.cfg.batch_size
+        n_pad = -(-n // self.row_bucket) * self.row_bucket
+        idx = np.zeros((n_pad, F, bs), np.int32)
+        subs = np.zeros((n_pad, F, bs), np.int32)
+        partner = np.zeros((n_pad, F, bs), np.int32)
+        valid = np.zeros((n_pad, F), bool)
+        for j, active in enumerate(participate):
+            if not active:
+                continue
+            i_m, s_m = self.dataset.create_eeg_indices(
+                eeg, rng=self.fold_rngs[j]
+            )
+            idx[:n, j] = i_m
+            subs[:n, j] = s_m
+            partner[:n, j] = (
+                self.shared_rng.integers(0, n, (n, bs))
+                if add_eeg
+                else s_m
+            )
+            valid[:n, j] = True
+        return idx, subs, partner, valid
+
+    def _epoch(self, member: List[set], active: np.ndarray, train: bool,
+               rng_key, warmup: bool = False):
+        """One pass over the (shuffled) union chunks; returns per-fold
+        ``(loss sums {k: [F]}, batch counts [F])``."""
+        cfg = self.cfg
+        F = len(self.folds)
+        sums: Dict[str, np.ndarray] = {}
+        counts = np.zeros(F, np.int64)
+        keys = [
+            k for k in self.dataset.batches_keys
+            if "eeg" in self.dataset.chunks[k]
+            and self.store.feature in self.dataset.chunks[k]
+        ]
+        self.shared_rng.shuffle(keys)
+        for key in keys:
+            story = _story_of_chunk_key(key)
+            participate = np.array(
+                [active[j] and story in member[j] for j in range(F)], bool
+            )
+            if not participate.any():
+                continue
+            idx, subs, partner, valid = self._chunk_rows(
+                key, participate, cfg.addEEG_b and train
+            )
+            eeg_d, speech_d, ids_d, _, _ = self.store.get(key)
+            if train:
+                self.states, losses = self.train_scan(
+                    self.states, eeg_d, speech_d, ids_d, idx, subs, partner,
+                    valid, rng_key, warmup=warmup,
+                )
+            else:
+                self.states, losses = self.eval_scan(
+                    self.states, eeg_d, speech_d, ids_d, idx, subs, valid
+                )
+            m = np.asarray(valid, np.float32)  # [n_pad, F]
+            for k, v in losses.items():
+                contrib = (np.asarray(v) * m).sum(axis=0)
+                sums[k] = sums.get(k, 0.0) + contrib
+            counts += m.sum(axis=0).astype(np.int64)
+        return sums, counts
+
+    # -- driver -------------------------------------------------------------
+
+    def fit(self) -> Dict[str, object]:
+        cfg = self.cfg
+        F = len(self.folds)
+        rng_key = jax.random.PRNGKey(cfg.seed + 1)
+        best_loss = np.full(F, np.inf)
+        best_epoch = np.zeros(F, np.int64)
+        active = np.ones(F, bool)
+        best_states = jax.tree.map(jnp.copy, self.states)
+        history: List[Dict[str, object]] = []
+
+        import time as _time
+
+        for epoch in range(cfg.epochs):
+            if epoch > cfg.warmup_epochs:
+                newly_done = active & (epoch > best_epoch + cfg.patience)
+                for j in np.where(newly_done)[0]:
+                    printf(
+                        f"fold {self.folds[j]}: early stopping at epoch "
+                        f"{epoch}", self.loss_file,
+                    )
+                active &= ~newly_done
+            if not active.any():
+                break
+            warmup = epoch < cfg.warmup_epochs
+            t0 = _time.time()
+            tr_sums, tr_counts = self._epoch(
+                self.train_stories, active, train=True, rng_key=rng_key,
+                warmup=warmup,
+            )
+            jax.block_until_ready(self.states.params)
+            epoch_time = _time.time() - t0
+
+            # per-fold scheduler (ref :502-504)
+            if cfg.lr_scheduler != "no":
+                from transformer_clip_eeg_tpu.train.state import (
+                    set_learning_rate,
+                )
+
+                last_val = history[-1]["val_loss_ce"] if history else [None] * F
+                lrs = np.array(
+                    [s.step(last_val[j]) for j, s in
+                     enumerate(self.schedulers)],
+                    np.float32,
+                )
+                self.states = self.states.replace(
+                    opt_state=set_learning_rate(self.states.opt_state, lrs)
+                )
+
+            va_sums, va_counts = self._epoch(
+                self.val_stories, active, train=False, rng_key=rng_key
+            )
+            val_ce = np.where(
+                va_counts > 0, va_sums.get("loss_ce", np.zeros(F)) /
+                np.maximum(va_counts, 1), np.inf,
+            )
+            tr_ce = tr_sums.get("loss_ce", np.zeros(F)) / np.maximum(
+                tr_counts, 1
+            )
+            pairs = int(tr_counts.sum()) * cfg.batch_size
+            printf(
+                f"epoch {epoch}: train loss_ce "
+                f"{np.array2string(tr_ce, precision=4)} val loss_ce "
+                f"{np.array2string(val_ce, precision=4)} "
+                f"({pairs / max(epoch_time, 1e-9):.0f} pairs/s aggregate)",
+                self.loss_file,
+            )
+            history.append(
+                {
+                    "epoch": epoch,
+                    "val_loss_ce": val_ce.tolist(),
+                    "train_loss_ce": tr_ce.tolist(),
+                    "epoch_time_s": epoch_time,
+                    "train_pairs_per_s": pairs / max(epoch_time, 1e-9),
+                }
+            )
+
+            improved = active & (val_ce < best_loss)
+            if improved.any():
+                best_loss = np.where(improved, val_ce, best_loss)
+                best_epoch = np.where(improved, epoch, best_epoch)
+                best_states = _select(
+                    jnp.asarray(improved), self.states, best_states
+                )
+
+        # unstack per-fold best states into per-fold run dirs
+        for j, d in enumerate(self.fold_dirs):
+            fold_state = jax.tree.map(lambda x, _j=j: x[_j], best_states)
+            ckpt_lib.save_checkpoint(
+                os.path.join(d, "checkpoints"), fold_state
+            )
+        self.best_states = best_states
+        return {
+            "folds": self.folds,
+            "best_loss": best_loss.tolist(),
+            "best_epoch": best_epoch.tolist(),
+            "history": history,
+            "fold_dirs": self.fold_dirs,
+        }
+
+    def fold_state(self, fold: int):
+        """Unstacked best :class:`TrainState` for one fold."""
+        j = self.folds.index(fold)
+        return jax.tree.map(lambda x: x[j], self.best_states)

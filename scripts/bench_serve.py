@@ -87,6 +87,64 @@ def main():
             "windows_per_s": round(args.chunk / dt, 1),
         }), flush=True)
 
+    # -- per-request latency (p50/p99) -------------------------------------
+    # One request = dispatch + fetch of a small (8-window) batch — the
+    # interactive serving shape, vs the throughput numbers above.  On this
+    # host every request pays the tunneled link's ~70 ms round-trip; on a
+    # directly-attached host subtract that floor.
+
+    def latency(fn, x_small, n=40):
+        # pre-materialize salted request inputs so the timed loop measures
+        # dispatch+fetch only (and no two requests are byte-identical —
+        # identical dispatches get deduplicated, PERF.md)
+        xs = [jax.block_until_ready(x_small + i * 1e-9) for i in range(n)]
+        np.asarray(fn(variables, xs[0]))  # compile + warm
+        lat = []
+        for xi in xs:
+            t0 = time.perf_counter()
+            np.asarray(fn(variables, xi))
+            lat.append(time.perf_counter() - t0)
+        return (
+            float(np.percentile(lat, 50) * 1e3),
+            float(np.percentile(lat, 99) * 1e3),
+        )
+
+    req = 8
+    for name, fn, x in [
+        ("eeg", embed_eeg, eeg[:req]),
+        ("speech", embed_speech, speech[:req]),
+    ]:
+        p50, p99 = latency(fn, x)
+        print(json.dumps({
+            "latency_stream": name, "request_windows": req,
+            "p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+        }), flush=True)
+
+    # -- RetrievalIndex: incremental add + top-k query latency -------------
+    from transformer_clip_eeg_tpu.serve import RetrievalIndex
+
+    dim = int(np.asarray(embed_speech(variables, speech[:1])).shape[1])
+    cand = rng.standard_normal((256, dim)).astype(np.float32)
+    cand /= np.linalg.norm(cand, axis=1, keepdims=True)
+    index = RetrievalIndex(dim, capacity=4096)
+    index.add(cand[:64])  # warm the compiled update/topk paths
+    index.topk(cand[:1], 10)
+
+    lat_add, lat_topk = [], []
+    for i in range(64, 192):
+        t0 = time.perf_counter()
+        index.add(cand[i : i + 1])
+        lat_add.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        index.topk(cand[i : i + 1], 10)
+        lat_topk.append(time.perf_counter() - t0)
+    for name, lat in [("index_add_row", lat_add), ("index_topk_q1", lat_topk)]:
+        print(json.dumps({
+            "latency_stream": name,
+            "p50_ms": round(float(np.percentile(lat, 50) * 1e3), 2),
+            "p99_ms": round(float(np.percentile(lat, 99) * 1e3), 2),
+        }), flush=True)
+
 
 if __name__ == "__main__":
     main()

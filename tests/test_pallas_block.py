@@ -111,3 +111,32 @@ def test_training_gradients_finite(data):
     gv, gx = jax.grad(loss, argnums=(0, 1))(variables, data)
     for leaf in jax.tree_util.tree_leaves((gv, gx)):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_bf16_matmul_mode_close_to_f32(data):
+    """mm_dtype='bfloat16' (the --compute_dtype fast mode) must stay close
+    to the f32 kernel in both forward and gradients — bf16 operands, f32
+    accumulation/softmax/LN."""
+    pls = TransformerEncoderBlock(E, num_heads=H, use_pallas=True)
+    variables = pls.init(jax.random.PRNGKey(0), data)
+
+    out_f32 = pls.apply(variables, data, True)
+    out_bf16 = pls.apply(variables, data.astype(jnp.bfloat16), True)
+    assert out_bf16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_bf16, np.float32), np.asarray(out_f32),
+        atol=5e-2, rtol=5e-2,
+    )
+
+    def loss(v, x):
+        return jnp.sum(jnp.square(pls.apply(v, x, True).astype(jnp.float32)))
+
+    g_f32 = jax.grad(loss)(variables, data)
+    g_bf16 = jax.grad(loss)(variables, data.astype(jnp.bfloat16))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_f32), jax.tree_util.tree_leaves(g_bf16)
+    ):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.all(np.isfinite(b))
+        denom = max(1.0, float(np.abs(a).max()))
+        assert float(np.abs(a - b).max()) / denom < 0.06

@@ -211,6 +211,10 @@ class TransformerEncoderBlock(nn.Module):
         else:
             seed = jnp.zeros((), jnp.float32)
         interpret = jax.default_backend() != "tpu"
+        # bf16 activations (--compute_dtype bfloat16) select MXU-native
+        # bf16 matmul operands inside the kernel (f32 accumulation); f32
+        # activations keep the exact-f32 parity numerics
+        mm_dtype = "bfloat16" if x.dtype == jnp.bfloat16 else None
         return fused_transformer_block(
             x,
             params,
@@ -221,6 +225,7 @@ class TransformerEncoderBlock(nn.Module):
             self.emb_size ** 0.5,  # the reference's full-emb scaling quirk
             training,
             interpret,
+            mm_dtype,
         )
 
 

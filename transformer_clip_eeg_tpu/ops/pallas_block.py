@@ -139,6 +139,27 @@ def _mask_cfg(seed_base, h, drop_p, ffn_drop_p, training, use_prng=True):
     )
 
 
+def _mm(a, b, mm_dtype):
+    """2-D matmul with operands cast to the compute dtype.
+
+    ``mm_dtype='bfloat16'`` runs the MXU's native single-pass bf16 mode
+    (f32 operands lower to multi-pass split-bf16); accumulation stays f32
+    via ``preferred_element_type``.  ``None`` keeps exact-f32 operands —
+    the parity-tested default."""
+    if mm_dtype is not None:
+        dt = jnp.dtype(mm_dtype)
+        a, b = a.astype(dt), b.astype(dt)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _mm_general(a, b, dims, mm_dtype):
+    """dot_general twin of :func:`_mm`."""
+    if mm_dtype is not None:
+        dt = jnp.dtype(mm_dtype)
+        a, b = a.astype(dt), b.astype(dt)
+    return lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
 def _head_mask(e, num_heads, hh):
     """[1, 1, E] 0/1 mask selecting head ``hh``'s feature columns
     (``hh`` may be traced — used inside fori_loop).
@@ -155,18 +176,18 @@ def _head_mask(e, num_heads, hh):
     )
 
 
-def _attn_probs(q, k, mh, scale):
+def _attn_probs(q, k, mh, scale, mm_dtype=None):
     """Clean (pre-dropout) attention probabilities for one head."""
-    s = lax.dot_general(
-        q * mh, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+    s = _mm_general(
+        q * mh, k, (((2,), (2,)), ((0,), (0,))), mm_dtype
     ) * np.float32(1.0 / scale)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     es = jnp.exp(s)
     return es / jnp.sum(es, axis=-1, keepdims=True)
 
 
-def _forward_core(x, params, masks, num_heads, scale, probs_scr=None):
+def _forward_core(x, params, masks, num_heads, scale, probs_scr=None,
+                  mm_dtype=None):
     """Block forward; returns (out, residuals).
 
     Attention probabilities are not returned as residuals between the
@@ -183,19 +204,13 @@ def _forward_core(x, params, masks, num_heads, scale, probs_scr=None):
 
     y1a, y1, inv1 = _layernorm_fwd(x, g1, be1)
     y1f = y1a.reshape(tb * t, e)
-    q = (jnp.dot(y1f, wq, preferred_element_type=jnp.float32) + bq).reshape(
-        tb, t, e
-    )
-    k = (jnp.dot(y1f, wk, preferred_element_type=jnp.float32) + bk).reshape(
-        tb, t, e
-    )
-    v = (jnp.dot(y1f, wv, preferred_element_type=jnp.float32) + bv).reshape(
-        tb, t, e
-    )
+    q = (_mm(y1f, wq, mm_dtype) + bq).reshape(tb, t, e)
+    k = (_mm(y1f, wk, mm_dtype) + bk).reshape(tb, t, e)
+    v = (_mm(y1f, wv, mm_dtype) + bv).reshape(tb, t, e)
 
     def head_body(hh, ctx):
         mh = _head_mask(e, h, hh)
-        p = _attn_probs(q, k, mh, scale)
+        p = _attn_probs(q, k, mh, scale, mm_dtype)
         if probs_scr is not None:
             probs_scr[pl.ds(hh * tb, tb), :, :] = p
         if masks and masks["drop_p"] > 0.0:
@@ -203,24 +218,20 @@ def _forward_core(x, params, masks, num_heads, scale, probs_scr=None):
                 masks["seed_base"], hh, (tb, t, t), masks["drop_p"],
                 masks["use_prng"],
             )
-        return ctx + lax.dot_general(
-            p, v * mh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        return ctx + _mm_general(
+            p, v * mh, (((2,), (1,)), ((0,), (0,))), mm_dtype
         )
 
     ctx = lax.fori_loop(0, h, head_body, jnp.zeros((tb, t, e), jnp.float32))
     ctx = ctx.reshape(tb * t, e)
-    a = jnp.dot(ctx, wo, preferred_element_type=jnp.float32) + bo
+    a = _mm(ctx, wo, mm_dtype) + bo
     if masks and masks["drop_p"] > 0.0:
         a = a * _dropout_mask(masks["seed_base"], h, (tb * t, e),
                               masks["drop_p"], masks["use_prng"])
     x1 = x + a.reshape(tb, t, e)
 
     y2a, y2, inv2 = _layernorm_fwd(x1, g2, be2)
-    f1 = (
-        jnp.dot(y2a.reshape(tb * t, e), w1, preferred_element_type=jnp.float32)
-        + bb1
-    )
+    f1 = _mm(y2a.reshape(tb * t, e), w1, mm_dtype) + bb1
     gl = _gelu(f1)
     if masks and masks["ffn_drop_p"] > 0.0:
         gl_d = gl * _dropout_mask(
@@ -229,7 +240,7 @@ def _forward_core(x, params, masks, num_heads, scale, probs_scr=None):
         )
     else:
         gl_d = gl
-    f2 = jnp.dot(gl_d, w2, preferred_element_type=jnp.float32) + bb2
+    f2 = _mm(gl_d, w2, mm_dtype) + bb2
     if masks and masks["drop_p"] > 0.0:
         f2 = f2 * _dropout_mask(masks["seed_base"], h + 2, (tb * t, e),
                                 masks["drop_p"], masks["use_prng"])
@@ -243,7 +254,7 @@ def _forward_core(x, params, masks, num_heads, scale, probs_scr=None):
 
 def _fwd_kernel(seed_ref, x_ref, *refs,
                 drop_p, ffn_drop_p, num_heads, scale, training, ffn_dim,
-                use_prng):
+                use_prng, mm_dtype=None):
     param_refs = refs[:N_PARAMS]
     out_ref = refs[N_PARAMS]
     x = x_ref[:].astype(jnp.float32)
@@ -251,13 +262,14 @@ def _fwd_kernel(seed_ref, x_ref, *refs,
     seed_base = (seed_ref[0] + pl.program_id(0)) * np.int32(8191)
     masks = _mask_cfg(seed_base, num_heads, drop_p, ffn_drop_p, training,
                       use_prng)
-    out, _ = _forward_core(x, params, masks, num_heads, scale)
+    out, _ = _forward_core(x, params, masks, num_heads, scale,
+                           mm_dtype=mm_dtype)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, x_ref, *refs,
                 drop_p, ffn_drop_p, num_heads, scale, training, ffn_dim,
-                use_prng):
+                use_prng, mm_dtype=None):
     param_refs = refs[:N_PARAMS]
     g_ref = refs[N_PARAMS]
     dx_ref = refs[N_PARAMS + 1]
@@ -274,7 +286,8 @@ def _bwd_kernel(seed_ref, x_ref, *refs,
 
     seed_base = (seed_ref[0] + i) * np.int32(8191)  # identical to forward
     masks = _mask_cfg(seed_base, h, drop_p, ffn_drop_p, training, use_prng)
-    _, res = _forward_core(x, params, masks, num_heads, scale, probs_scr)
+    _, res = _forward_core(x, params, masks, num_heads, scale, probs_scr,
+                           mm_dtype=mm_dtype)
     g = g_ref[:].astype(jnp.float32)
 
     # ---- FFN branch:  out = x1 + drop2(W2 · dropf(gelu(W1 · LN2(x1))))
@@ -283,8 +296,8 @@ def _bwd_kernel(seed_ref, x_ref, *refs,
     if masks and masks["drop_p"] > 0.0:
         df2 = df2 * _dropout_mask(seed_base, h + 2, (tb * t, e), drop_p,
                                   masks["use_prng"])
-    dgl_d = jnp.dot(df2, w2.T, preferred_element_type=jnp.float32)
-    dw2 = jnp.dot(res["gl_d"].T, df2, preferred_element_type=jnp.float32)
+    dgl_d = _mm(df2, w2.T, mm_dtype)
+    dw2 = _mm(res["gl_d"].T, df2, mm_dtype)
     dbb2 = jnp.sum(df2, axis=0)
     if masks and masks["ffn_drop_p"] > 0.0:
         dgl = dgl_d * _dropout_mask(
@@ -293,11 +306,8 @@ def _bwd_kernel(seed_ref, x_ref, *refs,
     else:
         dgl = dgl_d
     df1 = dgl * _gelu_grad(res["f1"])
-    dy2a = jnp.dot(df1, w1.T, preferred_element_type=jnp.float32)
-    dw1 = jnp.dot(
-        res["y2a"].reshape(tb * t, e).T, df1,
-        preferred_element_type=jnp.float32,
-    )
+    dy2a = _mm(df1, w1.T, mm_dtype)
+    dw1 = _mm(res["y2a"].reshape(tb * t, e).T, df1, mm_dtype)
     dbb1 = jnp.sum(df1, axis=0)
     dx1_ln, dg2, dbe2 = _layernorm_bwd(
         dy2a.reshape(tb, t, e), res["y2"], res["inv2"], g2
@@ -310,8 +320,8 @@ def _bwd_kernel(seed_ref, x_ref, *refs,
     if masks and masks["drop_p"] > 0.0:
         da = da * _dropout_mask(seed_base, h, (tb * t, e), drop_p,
                                 masks["use_prng"])
-    dctx = jnp.dot(da, wo.T, preferred_element_type=jnp.float32)
-    dwo = jnp.dot(res["ctx"].T, da, preferred_element_type=jnp.float32)
+    dctx = _mm(da, wo.T, mm_dtype)
+    dwo = _mm(res["ctx"].T, da, mm_dtype)
     dbo = jnp.sum(da, axis=0)
     dctx3 = dctx.reshape(tb, t, e)
 
@@ -328,25 +338,21 @@ def _bwd_kernel(seed_ref, x_ref, *refs,
         else:
             mask_h = None
             p_used = p_clean
-        dp = lax.dot_general(
-            dctx3, res["v"] * mh, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        dp = _mm_general(
+            dctx3, res["v"] * mh, (((2,), (2,)), ((0,), (0,))), mm_dtype
         )
-        dv3 = dv3 + mh * lax.dot_general(
-            p_used, dctx3, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        dv3 = dv3 + mh * _mm_general(
+            p_used, dctx3, (((1,), (1,)), ((0,), (0,))), mm_dtype
         )
         if mask_h is not None:
             dp = dp * mask_h
         ds = p_clean * (dp - jnp.sum(dp * p_clean, axis=-1, keepdims=True))
         ds = ds * np.float32(1.0 / scale)
-        dq3 = dq3 + mh * lax.dot_general(
-            ds, res["k"], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        dq3 = dq3 + mh * _mm_general(
+            ds, res["k"], (((2,), (1,)), ((0,), (0,))), mm_dtype
         )
-        dk3 = dk3 + lax.dot_general(
-            ds, res["q"] * mh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        dk3 = dk3 + _mm_general(
+            ds, res["q"] * mh, (((1,), (1,)), ((0,), (0,))), mm_dtype
         )
         return dq3, dk3, dv3
 
@@ -359,16 +365,16 @@ def _bwd_kernel(seed_ref, x_ref, *refs,
     dkf = dk3.reshape(tb * t, e)
     dvf = dv3.reshape(tb * t, e)
     y1af = res["y1a"].reshape(tb * t, e)
-    dwq = jnp.dot(y1af.T, dqf, preferred_element_type=jnp.float32)
-    dwk = jnp.dot(y1af.T, dkf, preferred_element_type=jnp.float32)
-    dwv = jnp.dot(y1af.T, dvf, preferred_element_type=jnp.float32)
+    dwq = _mm(y1af.T, dqf, mm_dtype)
+    dwk = _mm(y1af.T, dkf, mm_dtype)
+    dwv = _mm(y1af.T, dvf, mm_dtype)
     dbq = jnp.sum(dqf, axis=0)
     dbk = jnp.sum(dkf, axis=0)
     dbv = jnp.sum(dvf, axis=0)
     dy1a = (
-        jnp.dot(dqf, wq.T, preferred_element_type=jnp.float32)
-        + jnp.dot(dkf, wk.T, preferred_element_type=jnp.float32)
-        + jnp.dot(dvf, wv.T, preferred_element_type=jnp.float32)
+        _mm(dqf, wq.T, mm_dtype)
+        + _mm(dkf, wk.T, mm_dtype)
+        + _mm(dvf, wv.T, mm_dtype)
     )
     dx_ln, dg1, dbe1 = _layernorm_bwd(
         dy1a.reshape(tb, t, e), res["y1"], res["inv1"], g1
@@ -398,7 +404,7 @@ def _pick_tile(b: int) -> int:
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def fused_transformer_block(
     x: Array,
     params: Tuple[Array, ...],
@@ -409,16 +415,20 @@ def fused_transformer_block(
     scale: float,
     training: bool,
     interpret: bool = False,
+    mm_dtype=None,
 ) -> Array:
     """Fused pre-LN transformer block.  ``x`` [B, T, E] → [B, T, E].
 
     ``params``: the 16-tuple documented at the top of this module.
     ``seed``: float32 scalar array — dropout stream id (cast to int32
     internally; ignored when ``training=False`` or both drop rates are 0).
+    ``mm_dtype``: 'bfloat16' runs every matmul (fwd and bwd) on MXU-native
+    bf16 operands with f32 accumulation — the --compute_dtype fast mode;
+    None (default) keeps the exact-f32 parity numerics.
     """
     out, _ = _fused_block_fwd(
         x, params, seed, drop_p, ffn_drop_p, num_heads, scale, training,
-        interpret,
+        interpret, mm_dtype,
     )
     return out
 
@@ -432,7 +442,8 @@ def _block_grid_specs(params, tb, t, e):
 
 
 def _fused_block_fwd(
-    x, params, seed, drop_p, ffn_drop_p, num_heads, scale, training, interpret
+    x, params, seed, drop_p, ffn_drop_p, num_heads, scale, training,
+    interpret, mm_dtype=None,
 ):
     b, t, e = x.shape
     ffn_dim = params[13].shape[0]
@@ -441,7 +452,7 @@ def _fused_block_fwd(
     kernel = functools.partial(
         _fwd_kernel, drop_p=drop_p, ffn_drop_p=ffn_drop_p,
         num_heads=num_heads, scale=scale, training=training, ffn_dim=ffn_dim,
-        use_prng=not interpret,
+        use_prng=not interpret, mm_dtype=mm_dtype,
     )
     seed_i = jnp.asarray(seed, jnp.int32).reshape(1)
     out = pl.pallas_call(
@@ -462,7 +473,8 @@ def _fused_block_fwd(
 
 
 def _fused_block_bwd(
-    drop_p, ffn_drop_p, num_heads, scale, training, interpret, residuals, g
+    drop_p, ffn_drop_p, num_heads, scale, training, interpret, mm_dtype,
+    residuals, g
 ):
     x, params, seed_i = residuals
     b, t, e = x.shape
@@ -472,7 +484,7 @@ def _fused_block_bwd(
     kernel = functools.partial(
         _bwd_kernel, drop_p=drop_p, ffn_drop_p=ffn_drop_p,
         num_heads=num_heads, scale=scale, training=training, ffn_dim=ffn_dim,
-        use_prng=not interpret,
+        use_prng=not interpret, mm_dtype=mm_dtype,
     )
     dparam_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params]
     dparam_specs = [

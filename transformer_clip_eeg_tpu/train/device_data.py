@@ -15,10 +15,18 @@ Padding is sampling-invisible: index sampling happens on the host over the
 ids map to memory-bank row 0 (the reference's bank has ``bank_size + 1``
 rows with row 0 never assigned to a real segment, ref
 ``clip_model.py:711-728``).
+
+The next chunk's upload is prefetched on a background thread while the
+current chunk trains (see ``DeviceChunkStore``), overlapping host→device
+transfer with device compute — significant when the link is slow relative
+to compute (a ~100 MB chunk at SparrKULee scale costs ~10 ms over PCIe but
+seconds over a remote/tunneled link).
 """
 
 from __future__ import annotations
 
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Dict, Iterator, Optional, Tuple
 
 import jax
@@ -35,7 +43,23 @@ def _bucket(n: int, step: int) -> int:
 
 
 class DeviceChunkStore:
-    """Pads, uploads, and iterates story chunks resident on device."""
+    """Pads, uploads, and iterates story chunks resident on device.
+
+    With ``prefetch=True`` (default) the *next* chunk's pad + upload runs on
+    a single background thread while the current chunk trains, overlapping
+    host→device transfer with device compute.  Prefetch touches only the
+    upload — index sampling stays on the calling thread, so the host RNG
+    draw order (and therefore training numerics) is identical with prefetch
+    on or off.
+
+    Residency policy: by default (``max_resident=None``) chunks stay
+    resident up to a byte budget auto-sized from the device's free memory
+    (half of free HBM at construction).  At SparrKULee scale the whole
+    feature set fits comfortably in one chip's HBM, so epochs after the
+    first run with **zero** host→device data traffic.  Where memory stats
+    are unavailable (CPU test meshes) the policy falls back to a
+    2-chunk count cap; passing ``max_resident=N`` forces a count cap.
+    """
 
     def __init__(
         self,
@@ -44,7 +68,9 @@ class DeviceChunkStore:
         subs_bucket: int = 8,
         win_bucket: int = 64,
         sharding=None,
-        max_resident: int = 2,
+        max_resident: Optional[int] = None,
+        prefetch: bool = True,
+        budget_frac: float = 0.5,
     ):
         self.dataset = dataset
         if feature is None and not dataset.features_to_load:
@@ -58,8 +84,37 @@ class DeviceChunkStore:
         self.subs_bucket = subs_bucket
         self.win_bucket = win_bucket
         self.sharding = sharding
+        self.prefetch = prefetch
+        self.budget_bytes: Optional[int] = None
+        if max_resident is None:
+            self.budget_bytes = self._auto_budget(budget_frac)
+            if self.budget_bytes is None:
+                max_resident = 2
+        if max_resident is not None and prefetch:
+            # prefetch needs one slot for the in-use chunk plus one for
+            # the incoming chunk
+            max_resident = max(max_resident, 2)
         self.max_resident = max_resident
         self._resident: Dict[str, Tuple] = {}
+        self._sizes: Dict[str, int] = {}
+        self._resident_bytes = 0
+        self._futures: Dict[str, Future] = {}
+        self._lock = threading.Lock()
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self._in_use: Optional[str] = None
+
+    def _auto_budget(self, frac: float) -> Optional[int]:
+        """Half the device's currently-free memory, or None if unknowable."""
+        try:
+            if self.sharding is not None:
+                dev = next(iter(self.sharding.device_set))
+            else:
+                dev = jax.devices()[0]
+            stats = dev.memory_stats()
+            free = stats["bytes_limit"] - stats["bytes_in_use"]
+            return int(free * frac) if free > 0 else None
+        except Exception:
+            return None
 
     def _pad_chunk(self, key: str):
         chunk = self.dataset.chunks[key]
@@ -77,23 +132,70 @@ class DeviceChunkStore:
         ids_p[:n_win] = ids
         return eeg_p, speech_p, ids_p, n_subs, n_win
 
+    def _insert(self, key: str) -> None:
+        """Pad + upload ``key`` into the residency dict (any thread)."""
+        eeg, speech, ids, n_subs, n_win = self._pad_chunk(key)
+        nbytes = eeg.nbytes + speech.nbytes + ids.nbytes
+        put = (
+            (lambda x: jax.device_put(x, self.sharding))
+            if self.sharding is not None
+            else jax.device_put
+        )
+        entry = (put(eeg), put(speech), put(ids), n_subs, n_win)
+        with self._lock:
+            if key in self._resident:  # re-insert: replace, don't double-count
+                self._resident_bytes -= self._sizes.pop(key)
+                del self._resident[key]
+
+            def over_cap() -> bool:
+                if (
+                    self.max_resident is not None
+                    and len(self._resident) >= self.max_resident
+                ):
+                    return True
+                return (
+                    self.budget_bytes is not None
+                    and self._resident_bytes + nbytes > self.budget_bytes
+                )
+
+            while self._resident and over_cap():
+                # evict oldest (insertion order) to bound HBM use — but
+                # never the chunk the training loop is currently consuming
+                evictable = [
+                    k for k in self._resident if k != self._in_use
+                ]
+                if not evictable:
+                    break
+                self._resident_bytes -= self._sizes.pop(evictable[0])
+                del self._resident[evictable[0]]
+            self._resident[key] = entry
+            self._sizes[key] = nbytes
+            self._resident_bytes += nbytes
+
     def get(self, key: str):
         """Device-resident (eeg, speech, ids, n_subs, n_win) for a chunk."""
-        if key not in self._resident:
-            if len(self._resident) >= self.max_resident:
-                # evict oldest (insertion order) to bound HBM use
-                oldest = next(iter(self._resident))
-                del self._resident[oldest]
-            eeg, speech, ids, n_subs, n_win = self._pad_chunk(key)
-            put = (
-                (lambda x: jax.device_put(x, self.sharding))
-                if self.sharding is not None
-                else jax.device_put
-            )
-            self._resident[key] = (
-                put(eeg), put(speech), put(ids), n_subs, n_win
-            )
-        return self._resident[key]
+        fut = self._futures.pop(key, None)
+        if fut is not None:
+            fut.result()  # re-raises background upload errors here
+        with self._lock:
+            entry = self._resident.get(key)
+            self._in_use = key
+        if entry is None:
+            self._insert(key)
+            with self._lock:
+                entry = self._resident[key]
+        return entry
+
+    def prefetch_key(self, key: str) -> None:
+        """Start uploading ``key`` on the background thread (idempotent)."""
+        with self._lock:
+            if key in self._resident or key in self._futures:
+                return
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="chunk-prefetch"
+                )
+            self._futures[key] = self._pool.submit(self._insert, key)
 
     def _epoch_keys(
         self, rng: np.random.Generator, shuffle: bool
@@ -122,12 +224,15 @@ class DeviceChunkStore:
         partner subjects (``== subs`` when mixup is off, never touching
         padded rows)."""
         rng = rng or self.dataset.rng
-        for key in self._epoch_keys(rng, shuffle):
+        keys = self._epoch_keys(rng, shuffle)
+        for j, key in enumerate(keys):
             chunk = self.dataset.chunks[key]
             idx_per_batch, subs_per_batch = self.dataset.create_eeg_indices(
                 chunk["eeg"]
             )
             eeg_d, speech_d, ids_d, n_subs, _ = self.get(key)
+            if self.prefetch and j + 1 < len(keys):
+                self.prefetch_key(keys[j + 1])
             bs = idx_per_batch.shape[1]
             for i in range(n_subs):
                 partner = (
@@ -159,10 +264,13 @@ class DeviceChunkStore:
         and the per-batch step (the Trainer scans the bucket-aligned prefix
         and runs the tail per-batch, so no training compute is discarded)."""
         rng = rng or self.dataset.rng
-        for key in self._epoch_keys(rng, shuffle):
+        keys = self._epoch_keys(rng, shuffle)
+        for j, key in enumerate(keys):
             chunk = self.dataset.chunks[key]
             idx_m, subs_m = self.dataset.create_eeg_indices(chunk["eeg"])
             eeg_d, speech_d, ids_d, n_subs, _ = self.get(key)
+            if self.prefetch and j + 1 < len(keys):
+                self.prefetch_key(keys[j + 1])
             n, bs = idx_m.shape
             if add_eeg:
                 partner_m = rng.integers(0, n_subs, (n, bs))

@@ -1,1 +1,1 @@
-"""Logging, configuration, and torch-checkpoint import utilities."""
+"""Logging, configuration, and torch-checkpoint import/export utilities."""

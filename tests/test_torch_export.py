@@ -163,3 +163,45 @@ def test_fresh_flax_init_runs_in_reference_code(rng, tmp_path):
     np.testing.assert_allclose(float(ce), ref_ce.item(), atol=1e-4)
     np.testing.assert_allclose(float(avg), ref_avg.item(), atol=5e-4)
     np.testing.assert_allclose(float(total), ref_total.item(), atol=5e-4)
+
+
+def test_export_cli_from_run_dir(rng, tmp_path):
+    """`python -m ...utils.torch_export --run <dir> --template <ckpt>` turns
+    a training run's orbax checkpoint into a reference model.ckpt."""
+    from transformer_clip_eeg_tpu.train.checkpoint import (
+        CKPT_NAME,
+        save_params_only,
+    )
+    from transformer_clip_eeg_tpu.utils import torch_export
+
+    t_head, j_head = _flagship_pair()
+    eeg = rng.standard_normal((2, WL, 64)).astype(np.float32)
+    speech = rng.standard_normal((2, WL, 40)).astype(np.float32)
+    ids = np.arange(2).astype(np.int64)
+    variables = j_head.init(
+        {"params": jax.random.PRNGKey(5), "membank": jax.random.PRNGKey(6)},
+        jnp.asarray(eeg), jnp.asarray(speech), jnp.asarray(ids), True,
+    )
+    run_dir = tmp_path / "run"
+    (run_dir / "checkpoints").mkdir(parents=True)
+    save_params_only(
+        str(run_dir / "checkpoints" / CKPT_NAME),
+        {"step": 0, "params": variables["params"],
+         "membank": variables["membank"], "batch_stats": {},
+         "opt_state": {}},
+    )
+    template_path = tmp_path / "template.ckpt"
+    torch.save(t_head.state_dict(), str(template_path))
+    out_path = tmp_path / "exported.ckpt"
+
+    rc = torch_export.main([
+        "--run", str(run_dir), "--template", str(template_path),
+        "--out", str(out_path),
+    ])
+    assert rc == 0
+    t_head.load_state_dict(torch.load(str(out_path)), strict=True)
+    # exported params really are the run's params, not the template's
+    np.testing.assert_allclose(
+        t_head.temperature.detach().numpy(),
+        np.asarray(variables["params"]["temperature"]),
+    )

@@ -211,3 +211,56 @@ def save_torch_checkpoint(
         sd[k] = torch.as_tensor(np.array(v, copy=True), dtype=dtype)
     torch.save(sd, os.fspath(path))
     return report
+
+
+def main(argv=None) -> int:
+    """CLI: a training run dir → a reference-loadable ``model.ckpt``.
+
+    The template — any reference-written ``model.ckpt`` for the same
+    architecture (e.g. the published checkpoints, or one saved by
+    ``train_clip_final.py:531-540``) — supplies the torch key layout; no
+    reference code is imported.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m transformer_clip_eeg_tpu.utils.torch_export",
+        description=main.__doc__,
+    )
+    ap.add_argument(
+        "--run", required=True,
+        help="results dir of a training run (contains checkpoints/model_ckpt)",
+    )
+    ap.add_argument(
+        "--template", required=True,
+        help="reference model.ckpt whose key/shape layout to produce",
+    )
+    ap.add_argument("--out", required=True, help="output model.ckpt path")
+    args = ap.parse_args(argv)
+
+    import torch
+
+    from transformer_clip_eeg_tpu.train.checkpoint import (
+        CKPT_NAME,
+        restore_params_only,
+    )
+
+    ckpt_path = os.path.join(args.run, "checkpoints", CKPT_NAME)
+    if not os.path.exists(ckpt_path):
+        ap.error(f"no checkpoint at {ckpt_path}")
+    payload = restore_params_only(ckpt_path)
+    variables = {
+        coll: payload[coll]
+        for coll in ("params", "membank", "batch_stats")
+        if payload.get(coll)
+    }
+    template = torch.load(args.template, map_location="cpu")
+    report = save_torch_checkpoint(variables, template, args.out)
+    for item in report:
+        print(f"kept template value: {item}")
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via main() in tests
+    raise SystemExit(main())

@@ -163,3 +163,30 @@ def test_fold_parallel_isolates_folds(fixture_root, tmp_path):
         loaded = TrainConfig.load(os.path.join(d, "args.txt"))
         assert loaded.run == fold
         assert os.path.isdir(os.path.join(d, "checkpoints", "model_ckpt"))
+
+
+@pytest.mark.slow
+def test_fold_parallel_auto_resume(fixture_root, tmp_path):
+    """A new trainer pointed at a previous sweep's results root must restore
+    each fold's best checkpoint into its stacked row (ref
+    train_clip_final.py:443-449, per run dir)."""
+    cfg = _cfg(fixture_root, epochs=1)
+    union_f, union_a = _union(fixture_root, cfg)
+    root = str(tmp_path / "resume")
+
+    first = FoldParallelTrainer(cfg, [0], union_f, union_a, root)
+    first.fit()
+
+    again = FoldParallelTrainer(cfg, [0], union_f, union_a, root)
+    assert again.resumed.all()
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        again.states.params, first.best_states.params,
+    )
+
+    fresh = FoldParallelTrainer(
+        cfg, [0], union_f, union_a, str(tmp_path / "fresh")
+    )
+    assert not fresh.resumed.any()

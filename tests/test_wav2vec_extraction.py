@@ -220,3 +220,26 @@ def test_load_audio_wav_librosa_semantics(tmp_path):
     core = slice(500, 15500)
     err = np.linalg.norm(y[core] - ideal[core]) / np.linalg.norm(ideal[core])
     assert err < 1e-3, err
+
+
+def test_bf16_extraction_close_to_f32(tiny):
+    """--dtype bfloat16 extraction: features come back float32 and stay close
+    to the f32 path (params stay f32; compute dtype only)."""
+    import jax.numpy as jnp
+
+    _, model, variables = tiny
+    bf16_model = Wav2Vec2Model(model.config, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(5)
+    audio = rng.standard_normal(SR * 7).astype(np.float32) * 0.1
+
+    kw = dict(sr=SR, frames_per_s=FRAMES_PER_S)
+    f32 = Wav2Vec2FeatureExtractor(model, variables, [2], **kw)
+    bf16 = Wav2Vec2FeatureExtractor(bf16_model, variables, [2], **kw)
+
+    out_f32 = f32.get_hidden_output(audio, overlap=2, segment_length=4)[2]
+    out_bf16 = bf16.get_hidden_output(audio, overlap=2, segment_length=4)[2]
+    assert out_bf16.dtype == np.float32
+    assert out_bf16.shape == out_f32.shape
+    scale = np.abs(out_f32).mean()
+    assert np.abs(out_bf16 - out_f32).mean() < 0.05 * scale

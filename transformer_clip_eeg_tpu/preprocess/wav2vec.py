@@ -177,7 +177,8 @@ class Wav2Vec2FeatureExtractor:
             batch = np.stack(full_chunks)
             outs = self._forward(batch)
             for layer in self.layers:
-                arr = np.asarray(outs[layer])
+                # saved features are always f32 regardless of compute dtype
+                arr = np.asarray(outs[layer], np.float32)
                 for j in range(arr.shape[0]):
                     out = arr[j]
                     # non-final: strip both sides, +1 tail quirk (ref :119)
@@ -188,7 +189,7 @@ class Wav2Vec2FeatureExtractor:
                 continue
             outs = self._forward(tail[None, :])
             for layer in self.layers:
-                out = np.asarray(outs[layer])[0]
+                out = np.asarray(outs[layer], np.float32)[0]
                 outputs[layer].append(out[strip:])
 
         return {l: np.vstack(v) for l, v in outputs.items()}
@@ -265,6 +266,11 @@ def main(argv=None) -> int:
     p.add_argument("--layers", type=int, nargs="+", default=[19])
     p.add_argument("--overlap", type=int, default=2)
     p.add_argument("--segment_length", type=int, default=8)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for the extraction forward; bf16 is "
+                        "~1.5x faster at batch >= 32 (PERF.md) and "
+                        "feature deltas stay ~1e-2 on unit-scale hiddens")
     args = p.parse_args(argv)
 
     from transformers import Wav2Vec2ForCTC
@@ -275,9 +281,11 @@ def main(argv=None) -> int:
         convert_hf_wav2vec2,
     )
 
+    import jax.numpy as jnp
+
     hf_model = Wav2Vec2ForCTC.from_pretrained(args.model_path)
     config = Wav2Vec2Config.from_hf(hf_model.config)
-    model = Wav2Vec2Model(config)
+    model = Wav2Vec2Model(config, dtype=jnp.dtype(args.dtype))
     variables = convert_hf_wav2vec2(hf_model)
     extractor = Wav2Vec2FeatureExtractor(model, variables, args.layers)
 

@@ -98,6 +98,7 @@ class InferenceSession:
         self.model = model
         self.chunk = chunk
         self.mesh = mesh
+        self.cfg = None  # set by from_results_dir
         if mesh is not None:
             from transformer_clip_eeg_tpu.parallel.mesh import (
                 DATA_AXIS,
@@ -176,7 +177,9 @@ class InferenceSession:
         for coll in ("membank", "batch_stats"):
             if payload.get(coll):
                 variables[coll] = payload[coll]
-        return cls(model, variables, chunk=chunk, mesh=mesh)
+        session = cls(model, variables, chunk=chunk, mesh=mesh)
+        session.cfg = cfg  # run config, for callers that surface model info
+        return session
 
     # -- embedding ----------------------------------------------------------
 

@@ -281,6 +281,26 @@ class FoldParallelTrainer:
             lambda x: jnp.broadcast_to(x[None], (F,) + x.shape).copy(), state0
         )
 
+        # auto-resume: each fold restores its own checkpoint if one exists
+        # (ref train_clip_final.py:443-449, per run dir)
+        self.resumed = np.zeros(F, bool)
+        for j, d in enumerate(self.fold_dirs):
+            restored = ckpt_lib.restore_checkpoint(
+                os.path.join(d, "checkpoints"), state0
+            )
+            if restored is not None:
+                self.states = jax.tree.map(
+                    lambda s, r, _j=j: s.at[_j].set(r), self.states, restored
+                )
+                self.resumed[j] = True
+        if self.resumed.any():
+            printf(
+                "auto-resumed folds "
+                f"{[self.folds[j] for j in np.where(self.resumed)[0]]} "
+                "from their checkpoints",
+                self.loss_file,
+            )
+
         compute_dtype = (
             cfg.compute_dtype if cfg.compute_dtype != "float32" else None
         )
@@ -454,13 +474,24 @@ class FoldParallelTrainer:
                 best_states = _select(
                     jnp.asarray(improved), self.states, best_states
                 )
+                # save each improved fold now (ref :531-540) so a killed
+                # sweep auto-resumes from every fold's best so far
+                for j in np.where(improved)[0]:
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(self.fold_dirs[j], "checkpoints"),
+                        jax.tree.map(lambda x, _j=j: x[_j], best_states),
+                    )
 
-        # unstack per-fold best states into per-fold run dirs
+        # folds that never improved (e.g. epochs == 0) still get their
+        # initial/best state on disk so the eval suite can load the run dir
         for j, d in enumerate(self.fold_dirs):
-            fold_state = jax.tree.map(lambda x, _j=j: x[_j], best_states)
-            ckpt_lib.save_checkpoint(
-                os.path.join(d, "checkpoints"), fold_state
-            )
+            if not os.path.exists(
+                os.path.join(d, "checkpoints", ckpt_lib.CKPT_NAME)
+            ):
+                ckpt_lib.save_checkpoint(
+                    os.path.join(d, "checkpoints"),
+                    jax.tree.map(lambda x, _j=j: x[_j], best_states),
+                )
         self.best_states = best_states
         return {
             "folds": self.folds,

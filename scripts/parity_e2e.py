@@ -1,0 +1,276 @@
+"""Cross-framework end-to-end training-quality parity experiment.
+
+Trains the reference torch implementation (`/root/reference`, run as-is in
+an isolated rig directory) and this framework on the SAME synthetic
+SparrKULee fixture with the SAME CLI flags, then compares the downstream
+eval metrics both drivers write (match-mismatch accuracy + top-X
+retrieval, ref ``train_clip_final.py:558-575``; regression Pearson JSONs,
+ref ``:577-601``).
+
+This is the framework-level answer to "module numerics at 2e-4 is not
+end-to-end training-quality parity": identical data, identical
+architecture/optimizer/schedule flags, independently-seeded training, and
+the comparison happens on the reference's own output artifacts.
+
+The reference is executed untouched: its ``.py`` files are symlinked into
+a scratch rig dir so its ``__file__``-relative writes (``results/``,
+``fold_split.json`` lookup) land in writable scratch instead of the
+read-only checkout, and a no-op ``braindecode.augmentation`` shim (the
+augmentation flags stay ``no``, so the classes are imported but never
+instantiated) satisfies its import. No reference code is copied or edited.
+
+Usage (CPU, ~10-30 min dominated by the reference's torch loop):
+
+    python scripts/parity_e2e.py --workdir /tmp/parity
+    python scripts/parity_e2e.py --workdir /tmp/parity --skip_reference yes
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+BRAINDECODE_SHIM = '''\
+"""Import shim so the reference's dataset_loader imports resolve.
+
+The parity run always passes --data_augmentation no, so these classes are
+imported (dataset_loader.py:5) but never instantiated; any attempt to use
+one fails loudly.
+"""
+
+
+class _NeverInstantiated:
+    def __init__(self, *a, **k):
+        raise RuntimeError(
+            "braindecode shim: augmentation classes must not be used in "
+            "the parity experiment (run with --data_augmentation no)"
+        )
+
+
+SignFlip = FTSurrogate = FrequencyShift = BandstopFilter = _NeverInstantiated
+GaussianNoise = SmoothTimeMask = _NeverInstantiated
+ChannelsDropout = ChannelsShuffle = _NeverInstantiated
+'''
+
+
+def build_fixture(data_dir: str, args) -> None:
+    sys.path.insert(0, REPO)
+    from transformer_clip_eeg_tpu.data.fixtures import make_fixture
+
+    make_fixture(
+        data_dir,
+        n_stories=args.stories,
+        n_subjects=args.subjects,
+        story_seconds=args.story_seconds,
+        speech_dim=1024,  # the reference hardcodes wav2vec -> 1024
+        seed=args.fixture_seed,
+    )
+    # the reference resolves the challenge sets at
+    # dirname(data_dir)/ICASSP-2023-eeg-decoding-challenge-dataset/TEST_*
+    # (train_clip_final.py:560,595); the fixture writes them under
+    # data_dir/icassp/ -- bridge with a symlink
+    link = os.path.join(
+        os.path.dirname(data_dir), "ICASSP-2023-eeg-decoding-challenge-dataset"
+    )
+    if not os.path.exists(link):
+        os.symlink(os.path.join(data_dir, "icassp"), link)
+
+
+def build_rig(rig_dir: str, data_dir: str) -> None:
+    os.makedirs(rig_dir, exist_ok=True)
+    for name in os.listdir(REFERENCE):
+        if name.endswith(".py"):
+            dst = os.path.join(rig_dir, name)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(REFERENCE, name), dst)
+    shutil.copy(
+        os.path.join(data_dir, "fold_split.json"),
+        os.path.join(rig_dir, "fold_split.json"),
+    )
+    shim = os.path.join(rig_dir, "braindecode")
+    os.makedirs(shim, exist_ok=True)
+    with open(os.path.join(shim, "__init__.py"), "w") as f:
+        f.write("")
+    with open(os.path.join(shim, "augmentation.py"), "w") as f:
+        f.write(BRAINDECODE_SHIM)
+
+
+def shared_flags(args, data_dir: str):
+    """One flag list both drivers accept (our CLI mirrors the reference's)."""
+    return [
+        "--data_dir", data_dir,
+        "--run", "0",
+        "--epochs", str(args.epochs),
+        "--patience", str(args.epochs),
+        "--batch_size", str(args.batch_size),
+        "--attention_depth", str(args.depth),
+        "--lstm_units", str(args.lstm_units),
+        "--latent_dim", str(args.latent_dim),
+        "--lr_scheduler", "no",
+        "--shuffle", "yes",
+        "--shuffle_percentage", "1.0",
+        "--data_augmentation", "no",
+    ]
+
+
+def run_reference(rig_dir: str, data_dir: str, args, log_path: str) -> str:
+    """Run the untouched reference driver; returns its results dir."""
+    results_root = os.path.join(rig_dir, "results")
+    before = set(os.listdir(results_root)) if os.path.isdir(results_root) else set()
+    # CPython resolves script symlinks when computing sys.path[0], which
+    # would make the rig's braindecode shim invisible and point __file__'s
+    # results/ dir at the read-only checkout -- bootstrap through runpy
+    # with the rig dir pinned instead
+    script = os.path.join(rig_dir, "train_clip_final.py")
+    bootstrap = (
+        "import sys, runpy; "
+        f"sys.path.insert(0, {rig_dir!r}); "
+        f"sys.argv = [{script!r}] + sys.argv[1:]; "
+        f"runpy.run_path({script!r}, run_name='__main__')"
+    )
+    cmd = [sys.executable, "-c", bootstrap] + shared_flags(args, data_dir)
+    env = dict(os.environ, CUDA_VISIBLE_DEVICES="", OMP_NUM_THREADS="1")
+    with open(log_path, "w") as log:
+        t0 = time.time()
+        rc = subprocess.call(cmd, cwd=rig_dir, stdout=log, stderr=subprocess.STDOUT, env=env)
+        dt = time.time() - t0
+    new = sorted(set(os.listdir(results_root)) - before)
+    if not new:
+        raise RuntimeError(f"reference produced no results dir (rc={rc}), see {log_path}")
+    out = os.path.join(results_root, new[-1])
+    if rc != 0:
+        # the reference's sub-independent regression eval crashes on its own
+        # loader/eval batch mismatch (train_clip_helper_functions.py:508-519
+        # skips every batch -> torch.cat([]) at :948); the MM eval JSONs are
+        # written before that point, so a nonzero rc with MM artifacts
+        # present is the reference's expected behavior, not a rig failure
+        if not os.path.exists(
+            os.path.join(out, "evaluation_challenge_set_2023_mm.json")
+        ):
+            raise RuntimeError(
+                f"reference driver failed before the MM eval rc={rc}, "
+                f"see {log_path}"
+            )
+        print(f"reference rc={rc} (known sub-independent eval crash, "
+              "MM artifacts written)")
+    print(f"reference done in {dt:.0f}s -> {new[-1]}")
+    return out
+
+
+def run_ours(workdir: str, data_dir: str, args, log_path: str) -> str:
+    results_root = os.path.join(workdir, "ours_results")
+    os.makedirs(results_root, exist_ok=True)
+    before = set(os.listdir(results_root))
+    # force CPU (env JAX_PLATFORMS is not honored on this host; set config)
+    snippet = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; from transformer_clip_eeg_tpu.cli import main; "
+        "sys.exit(main())"
+    )
+    cmd = [sys.executable, "-c", snippet] + shared_flags(args, data_dir) + [
+        "--results_folder", results_root,
+        # ours-only: the reference has no seed flag (it runs unseeded, so
+        # its spread comes for free; ours needs explicit seeds)
+        "--seed", str(args.ours_seed),
+    ]
+    # the CLI makes env JAX_PLATFORMS authoritative (utils/platform.py), so
+    # the inherited axon preset must be overridden here too
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    with open(log_path, "w") as log:
+        t0 = time.time()
+        rc = subprocess.call(
+            cmd, cwd=REPO, stdout=log, stderr=subprocess.STDOUT, env=env
+        )
+        dt = time.time() - t0
+    if rc != 0:
+        raise RuntimeError(f"our driver failed rc={rc}, see {log_path}")
+    new = sorted(set(os.listdir(results_root)) - before)
+    print(f"ours done in {dt:.0f}s -> {new[-1]}")
+    return os.path.join(results_root, new[-1])
+
+
+def collect(results_dir: str) -> dict:
+    out = {"results_dir": results_dir}
+    mm = os.path.join(results_dir, "evaluation_challenge_set_2023_mm.json")
+    if os.path.exists(mm):
+        with open(mm) as f:
+            accs = list(json.load(f).values())
+        out["mm_mean_accuracy"] = sum(accs) / len(accs)
+        out["mm_n_subjects"] = len(accs)
+    topx = os.path.join(results_dir, "evaluation_challenge_set_2023_mm_top_x.json")
+    if os.path.exists(topx):
+        with open(topx) as f:
+            per_sub = json.load(f).values()
+        tops = [c[0] for c in per_sub]
+        out["mm_top1_retrieval"] = sum(tops) / len(tops)
+    reg = os.path.join(
+        results_dir, "evaluation_regression_general_model_env.json"
+    )
+    if os.path.exists(reg):
+        with open(reg) as f:
+            vals = [v for v in json.load(f).values()
+                    if isinstance(v, (int, float))]
+        if vals:
+            out["regression_general_mean_pearson"] = sum(vals) / len(vals)
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", type=str, default="/tmp/parity")
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--lstm_units", type=int, default=16)
+    ap.add_argument("--latent_dim", type=int, default=4)
+    ap.add_argument("--stories", type=int, default=4)
+    ap.add_argument("--subjects", type=int, default=3)
+    ap.add_argument("--story_seconds", type=int, default=90)
+    ap.add_argument("--fixture_seed", type=int, default=3)
+    ap.add_argument("--ours_seed", type=int, default=0)
+    ap.add_argument("--skip_reference", default="no", choices=["yes", "no"])
+    ap.add_argument("--skip_ours", default="no", choices=["yes", "no"])
+    args = ap.parse_args(argv)
+
+    workdir = args.workdir
+    data_dir = os.path.join(workdir, "data")
+    rig_dir = os.path.join(workdir, "rig")
+    os.makedirs(workdir, exist_ok=True)
+
+    if not os.path.exists(os.path.join(data_dir, "fold_split.json")):
+        print("building fixture ...")
+        build_fixture(data_dir, args)
+    build_rig(rig_dir, data_dir)
+
+    summary_path = os.path.join(workdir, "summary.json")
+    summary = {}
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            summary = json.load(f)
+
+    if args.skip_reference != "yes":
+        ref_dir = run_reference(
+            rig_dir, data_dir, args, os.path.join(workdir, "reference.log")
+        )
+        summary["reference"] = collect(ref_dir)
+    if args.skip_ours != "yes":
+        ours_dir = run_ours(
+            workdir, data_dir, args, os.path.join(workdir, "ours.log")
+        )
+        summary["ours"] = collect(ours_dir)
+
+    summary["flags"] = shared_flags(args, data_dir)
+    with open(summary_path, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

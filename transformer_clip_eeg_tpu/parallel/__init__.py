@@ -1,4 +1,5 @@
-"""Device-mesh construction and sharding helpers (ICI data parallelism)."""
+"""Device-mesh construction and sharding helpers (ICI data + tensor
+parallelism)."""
 
 from transformer_clip_eeg_tpu.parallel.distributed import initialize_distributed
 from transformer_clip_eeg_tpu.parallel.mesh import (
@@ -10,6 +11,10 @@ from transformer_clip_eeg_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from transformer_clip_eeg_tpu.parallel.tp import (
+    shard_wav2vec2_variables,
+    wav2vec2_tp_specs,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -20,4 +25,6 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "shard_wav2vec2_variables",
+    "wav2vec2_tp_specs",
 ]

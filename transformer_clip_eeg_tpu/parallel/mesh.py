@@ -16,9 +16,9 @@ the sharding annotations.  The memory-bank scatter runs on replicated state
 with globally-gathered (ids, values), so every device applies the identical
 update and the bank stays consistent without extra collectives.
 
-An optional 'model' axis is reserved for tensor-sharding the wav2vec2
-feature-extraction model (the only large model in the system); the CLIP
-models (<10 M params) never need TP/PP.
+The 'model' axis tensor-shards the wav2vec2 feature-extraction model
+(the only large model in the system — Megatron layout in
+``parallel/tp.py``); the CLIP models (<10 M params) never need TP/PP.
 """
 
 from __future__ import annotations

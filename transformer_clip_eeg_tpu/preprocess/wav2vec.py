@@ -110,14 +110,35 @@ class Wav2Vec2FeatureExtractor:
         layers: Sequence[int] = (19,),
         sr: int = SR,
         frames_per_s: int = FRAMES_PER_S,
+        mesh=None,
     ):
+        """``mesh``: optional ``('data','model')`` mesh — batches shard over
+        'data' and the encoder runs Megatron-sharded over 'model'
+        (``parallel/tp.py``); numerics identical to single-device."""
         import jax
 
         self.model = model
-        self.variables = variables
         self.layers = sorted(layers)
         self.sr = sr
         self.frames_per_s = frames_per_s
+        self.mesh = mesh
+        if mesh is not None:
+            from transformer_clip_eeg_tpu.parallel.mesh import DATA_AXIS
+            from transformer_clip_eeg_tpu.parallel.tp import (
+                shard_wav2vec2_variables,
+            )
+
+            variables = shard_wav2vec2_variables(
+                mesh, variables, config=model.config
+            )
+            self._n_data = mesh.shape.get(DATA_AXIS, 1)
+            self._batch_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(DATA_AXIS)
+            )
+        else:
+            self._n_data = 1
+            self._batch_sharding = None
+        self.variables = variables
 
         @jax.jit
         def forward(audio_batch):
@@ -130,7 +151,27 @@ class Wav2Vec2FeatureExtractor:
                 for layer in self.layers
             }
 
-        self._forward = forward
+        self._jit_forward = forward
+
+    def _forward(self, audio_batch):
+        """Run the jitted forward; under a mesh, pad the chunk batch to a
+        multiple of the 'data' axis, shard it, and strip the pad rows."""
+        if self.mesh is None:
+            return self._jit_forward(audio_batch)
+        import jax
+
+        n = audio_batch.shape[0]
+        pad = (-n) % self._n_data
+        if pad:
+            audio_batch = np.concatenate(
+                [audio_batch, np.zeros((pad,) + audio_batch.shape[1:],
+                                       audio_batch.dtype)]
+            )
+        sharded = jax.device_put(audio_batch, self._batch_sharding)
+        outs = self._jit_forward(sharded)
+        if pad:
+            outs = {l: v[:n] for l, v in outs.items()}
+        return outs
 
     def get_hidden_output(
         self,
@@ -271,6 +312,13 @@ def main(argv=None) -> int:
                    help="compute dtype for the extraction forward; bf16 is "
                         "~1.5x faster at batch >= 32 (PERF.md) and "
                         "feature deltas stay ~1e-2 on unit-scale hiddens")
+    p.add_argument("--n_data_shards", type=int, default=0,
+                   help="shard chunk batches over a 'data' mesh axis of "
+                        "this size (0 = single device)")
+    p.add_argument("--n_model_shards", type=int, default=1,
+                   help="Megatron-shard the encoder over a 'model' mesh "
+                        "axis of this size (parallel/tp.py); must divide "
+                        "the head count and FFN width")
     args = p.parse_args(argv)
 
     from transformers import Wav2Vec2ForCTC
@@ -287,7 +335,16 @@ def main(argv=None) -> int:
     config = Wav2Vec2Config.from_hf(hf_model.config)
     model = Wav2Vec2Model(config, dtype=jnp.dtype(args.dtype))
     variables = convert_hf_wav2vec2(hf_model)
-    extractor = Wav2Vec2FeatureExtractor(model, variables, args.layers)
+    mesh = None
+    if args.n_data_shards or args.n_model_shards > 1:
+        from transformer_clip_eeg_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(
+            n_data=args.n_data_shards or None, n_model=args.n_model_shards
+        )
+    extractor = Wav2Vec2FeatureExtractor(
+        model, variables, args.layers, mesh=mesh
+    )
 
     stimuli_dir = os.path.join(args.dataset_root, "stimuli", "eeg")
     save_dir = os.path.join(

@@ -185,3 +185,157 @@ def test_service_index_full_is_409(session):
     with pytest.raises(ServiceError) as e:
         service.retrieval_add({"embeddings": emb.tolist()})
     assert e.value.status == 409
+
+
+# -- dynamic micro-batching -------------------------------------------------
+
+
+class _CountingSession:
+    """Wraps an InferenceSession, counting device-path embed calls."""
+
+    def __init__(self, session):
+        self._session = session
+        self.cfg = session.cfg
+        self.eeg_calls = 0
+        self.speech_calls = 0
+
+    def embed_eeg(self, windows, normalize=False):
+        self.eeg_calls += 1
+        return self._session.embed_eeg(windows, normalize=normalize)
+
+    def embed_speech(self, windows):
+        self.speech_calls += 1
+        return self._session.embed_speech(windows)
+
+
+def test_microbatcher_coalesces_and_matches_unbatched(session):
+    """K concurrent embed requests: fewer device calls, identical results."""
+    counting = _CountingSession(session)
+    service = EmbeddingService(counting, batch_window_ms=25.0)
+    try:
+        rng = np.random.default_rng(10)
+        reqs = [rng.standard_normal((2, T, EEG_C)).astype(np.float32)
+                for _ in range(6)]
+        outs = [None] * len(reqs)
+
+        def call(i):
+            outs[i] = service.embed_eeg({"windows": reqs[i]})
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for req, out in zip(reqs, outs):
+            want = np.asarray(session.embed_eeg(req))
+            np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+        # 6 near-simultaneous requests within a 25 ms window must coalesce
+        assert counting.eeg_calls < len(reqs), counting.eeg_calls
+    finally:
+        service.close()
+
+
+def test_microbatcher_normalize_is_per_request(session):
+    """MVN is a per-request batch statistic; batching must not mix it."""
+    service = EmbeddingService(session, batch_window_ms=10.0)
+    try:
+        rng = np.random.default_rng(11)
+        a = (5.0 + rng.standard_normal((3, T, EEG_C))).astype(np.float32)
+        b = (-2.0 + 3 * rng.standard_normal((4, T, EEG_C))).astype(np.float32)
+        outs = {}
+
+        def call(name, arr):
+            outs[name] = service.embed_eeg(
+                {"windows": arr, "normalize": True}
+            )
+
+        threads = [threading.Thread(target=call, args=(n, x))
+                   for n, x in (("a", a), ("b", b))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for name, arr in (("a", a), ("b", b)):
+            want = np.asarray(session.embed_eeg(arr, normalize=True))
+            np.testing.assert_allclose(
+                outs[name], want, rtol=1e-5, atol=1e-5
+            )
+    finally:
+        service.close()
+
+
+def test_microbatcher_groups_by_shape(session):
+    """A bad-shaped request fails alone; a good one in the same window
+    succeeds (shape groups share one dispatch, not one fate)."""
+    service = EmbeddingService(session, batch_window_ms=25.0)
+    try:
+        rng = np.random.default_rng(12)
+        good = rng.standard_normal((2, T, EEG_C)).astype(np.float32)
+        bad = rng.standard_normal((2, T, EEG_C - 1)).astype(np.float32)
+        results = {}
+
+        def call(name, arr):
+            try:
+                results[name] = service.embed_eeg({"windows": arr})
+            except Exception as e:  # noqa: BLE001
+                results[name] = e
+
+        threads = [threading.Thread(target=call, args=(n, x))
+                   for n, x in (("good", good), ("bad", bad))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        assert isinstance(results["bad"], Exception)
+        want = np.asarray(session.embed_eeg(good))
+        np.testing.assert_allclose(results["good"], want, rtol=1e-5,
+                                   atol=1e-5)
+    finally:
+        service.close()
+
+
+def test_batched_server_over_http(session):
+    """End-to-end: a batching server answers concurrent HTTP clients with
+    the same embeddings as the unbatched service and reports coalescing
+    stats in /healthz."""
+    service = EmbeddingService(session, batch_window_ms=20.0)
+    httpd = make_server(service, port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        rng = np.random.default_rng(13)
+        reqs = [rng.standard_normal((1, T, EEG_C)).astype(np.float32)
+                for _ in range(4)]
+        outs = [None] * len(reqs)
+
+        def call(i):
+            outs[i] = _post(
+                f"{url}/v1/embed/eeg", {"windows": reqs[i].tolist()}
+            )
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for req, out in zip(reqs, outs):
+            want = np.asarray(session.embed_eeg(req))
+            np.testing.assert_allclose(
+                np.asarray(out["embeddings"], np.float32), want,
+                rtol=1e-5, atol=1e-5,
+            )
+        with urllib.request.urlopen(f"{url}/healthz") as resp:
+            health = json.loads(resp.read())
+        assert health["batching"]["requests"] >= 4
+        assert health["batching"]["dispatches"] >= 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        service.close()

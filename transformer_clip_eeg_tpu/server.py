@@ -28,7 +28,10 @@ per float instead of ~13 of JSON text.
 Concurrency: the threaded server parses/encodes requests concurrently but a
 single lock serializes device work — one chip, one compiled session; the
 chunked embedders (``serve.InferenceSession``) keep shapes static so no
-request mix can trigger a recompile while serving.
+request mix can trigger a recompile while serving.  With
+``--batch_window_ms > 0`` a :class:`MicroBatcher` per embedder coalesces
+concurrent requests into one device dispatch (grouped by window shape) —
+N small requests pay one ~70 ms tunnel round-trip instead of N.
 
 Run: ``python -m transformer_clip_eeg_tpu.server --results_folder <run dir>
 [--port 8321] [--candidates bank.npy | --capacity 4096]``.
@@ -57,6 +60,87 @@ class ServiceError(Exception):
         self.status = status
 
 
+class MicroBatcher:
+    """Dynamic micro-batching: coalesce concurrent embed requests into one
+    device dispatch.
+
+    On the tunneled single chip every dispatch costs ~70 ms round-trip
+    (PERF.md), so N concurrent small requests pay N dispatches when
+    serialized.  A worker thread lingers ``window_ms`` after the first
+    arrival, drains everything that queued meanwhile, groups by window
+    shape, and runs one ``fn`` call per group — N requests, one dispatch.
+    Each caller blocks in :meth:`submit` until its slice of the batched
+    result is ready; a failing group only fails its own requests.
+    """
+
+    def __init__(self, fn, window_ms: float = 3.0):
+        self.fn = fn  # [N, T, F] float32 -> [N, D]
+        self.window_ms = float(window_ms)
+        self._cond = threading.Condition()
+        self._pending: list = []
+        self._closed = False
+        # telemetry for /healthz: how well coalescing is working
+        self.requests = 0
+        self.dispatches = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, arr: np.ndarray) -> np.ndarray:
+        item = {"arr": arr, "event": threading.Event(), "out": None,
+                "err": None}
+        with self._cond:
+            if self._closed:
+                raise ServiceError(503, "server shutting down")
+            self._pending.append(item)
+            self._cond.notify()
+        item["event"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def close(self):
+        with self._cond:
+            self._closed = True
+            self._cond.notify()
+        self._thread.join(timeout=5)
+
+    def _loop(self):
+        import time
+
+        while True:
+            with self._cond:
+                while not self._pending and not self._closed:
+                    self._cond.wait()
+                if self._closed and not self._pending:
+                    return
+            # linger outside the lock so stragglers can join the batch
+            if self.window_ms > 0:
+                time.sleep(self.window_ms / 1000.0)
+            with self._cond:
+                batch, self._pending = self._pending, []
+            groups: dict = {}
+            for item in batch:
+                groups.setdefault(item["arr"].shape[1:], []).append(item)
+            for items in groups.values():
+                self.requests += len(items)
+                self.dispatches += 1
+                try:
+                    out = self.fn(
+                        np.concatenate([i["arr"] for i in items], axis=0)
+                    )
+                    ofs = 0
+                    for i in items:
+                        n = i["arr"].shape[0]
+                        i["out"] = out[ofs:ofs + n]
+                        ofs += n
+                except Exception as e:  # noqa: BLE001 — delivered per item
+                    for i in items:
+                        i["err"] = e
+                finally:
+                    for i in items:
+                        i["event"].set()
+
+
 class EmbeddingService:
     """Route logic, separated from HTTP plumbing for direct unit testing.
 
@@ -65,11 +149,47 @@ class EmbeddingService:
     the threaded server parallelizes).
     """
 
-    def __init__(self, session, index=None, info: Optional[dict] = None):
+    def __init__(self, session, index=None, info: Optional[dict] = None,
+                 batch_window_ms: float = 0.0):
         self.session = session
         self.index = index
         self.info = dict(info or {})
         self._lock = threading.Lock()
+        if batch_window_ms > 0:
+            self._eeg_batcher = MicroBatcher(
+                self._device_embed_eeg, batch_window_ms
+            )
+            self._speech_batcher = MicroBatcher(
+                self._device_embed_speech, batch_window_ms
+            )
+        else:
+            self._eeg_batcher = self._speech_batcher = None
+
+    def close(self):
+        """Stop the micro-batch workers (no-op when batching is off)."""
+        for b in (self._eeg_batcher, self._speech_batcher):
+            if b is not None:
+                b.close()
+
+    # -- embedding backends -------------------------------------------------
+
+    def _device_embed_eeg(self, windows: np.ndarray) -> np.ndarray:
+        with self._lock:
+            return np.asarray(self.session.embed_eeg(windows))
+
+    def _device_embed_speech(self, windows: np.ndarray) -> np.ndarray:
+        with self._lock:
+            return np.asarray(self.session.embed_speech(windows))
+
+    def _embed_eeg(self, windows: np.ndarray) -> np.ndarray:
+        if self._eeg_batcher is not None:
+            return self._eeg_batcher.submit(windows)
+        return self._device_embed_eeg(windows)
+
+    def _embed_speech(self, windows: np.ndarray) -> np.ndarray:
+        if self._speech_batcher is not None:
+            return self._speech_batcher.submit(windows)
+        return self._device_embed_speech(windows)
 
     # -- helpers -----------------------------------------------------------
 
@@ -101,6 +221,14 @@ class EmbeddingService:
         if self.index is not None:
             out["index_size"] = int(self.index.size)
             out["index_capacity"] = int(self.index.capacity)
+        if self._eeg_batcher is not None:
+            out["batching"] = {
+                "window_ms": self._eeg_batcher.window_ms,
+                "requests": self._eeg_batcher.requests
+                + self._speech_batcher.requests,
+                "dispatches": self._eeg_batcher.dispatches
+                + self._speech_batcher.dispatches,
+            }
         return out
 
     def embed_eeg(self, payload: dict) -> np.ndarray:
@@ -108,28 +236,31 @@ class EmbeddingService:
         if windows.ndim != 3:
             raise ServiceError(400, f"windows must be [N, T, C], got "
                                     f"shape {windows.shape}")
-        with self._lock:
-            return np.asarray(self.session.embed_eeg(
-                windows, normalize=bool(payload.get("normalize", False))
-            ))
+        if payload.get("normalize", False):
+            # the eval-time MVN contract is a per-request batch statistic
+            # over (segments, time) (serve.InferenceSession.embed_eeg), so
+            # it must be applied before requests coalesce
+            mu = windows.mean(axis=(0, 1), keepdims=True)
+            sd = windows.std(axis=(0, 1), keepdims=True)
+            windows = (windows - mu) / np.where(sd == 0, 1.0, sd)
+        return self._embed_eeg(windows)
 
     def embed_speech(self, payload: dict) -> np.ndarray:
         windows = self._array(payload, "windows")
         if windows.ndim != 3:
             raise ServiceError(400, f"windows must be [N, T, F], got "
                                     f"shape {windows.shape}")
-        with self._lock:
-            return np.asarray(self.session.embed_speech(windows))
+        return self._embed_speech(windows)
 
     def retrieval_add(self, payload: dict) -> dict:
         index = self._require_index()
         arr = self._array(payload, "embeddings", "windows")
+        if arr.ndim == 3:  # speech windows → embed first (coalescable)
+            arr = self._embed_speech(arr)
+        elif arr.ndim != 2:
+            raise ServiceError(400, "embeddings must be [N, D] (or "
+                                    "windows [N, T, F])")
         with self._lock:
-            if arr.ndim == 3:  # speech windows → embed first
-                arr = np.asarray(self.session.embed_speech(arr))
-            elif arr.ndim != 2:
-                raise ServiceError(400, "embeddings must be [N, D] (or "
-                                        "windows [N, T, F])")
             try:
                 ids = index.add(arr)
             except ValueError as e:  # index full / dim mismatch
@@ -142,12 +273,12 @@ class EmbeddingService:
         k = int(payload.get("k", 10))
         if k < 1:
             raise ServiceError(400, f"k must be >= 1, got {k}")
+        if arr.ndim == 3:  # EEG windows → embed first (coalescable)
+            arr = self._embed_eeg(arr)
+        elif arr.ndim != 2:
+            raise ServiceError(400, "queries must be [Q, D] (or "
+                                    "windows [Q, T, C])")
         with self._lock:
-            if arr.ndim == 3:  # EEG windows → embed first
-                arr = np.asarray(self.session.embed_eeg(arr))
-            elif arr.ndim != 2:
-                raise ServiceError(400, "queries must be [Q, D] (or "
-                                        "windows [Q, T, C])")
             try:
                 scores, ids = index.topk(arr, k=k)
             except ValueError as e:  # empty index
@@ -160,10 +291,19 @@ class EmbeddingService:
         eeg = self._array(payload, "eeg")
         cand_a = self._array(payload, "cand_a")
         cand_b = self._array(payload, "cand_b")
-        with self._lock:
-            eeg_emb = np.asarray(self.session.embed_eeg(eeg))
-            emb_a = np.asarray(self.session.embed_speech(cand_a))
-            emb_b = np.asarray(self.session.embed_speech(cand_b))
+        eeg_emb = self._embed_eeg(eeg)
+        # both candidate sets share the speech embedder: in batching mode
+        # stack them into one submit so they ride one dispatch
+        if self._speech_batcher is not None and (
+            cand_a.shape[1:] == cand_b.shape[1:]
+        ):
+            both = self._embed_speech(
+                np.concatenate([cand_a, cand_b], axis=0)
+            )
+            emb_a, emb_b = both[: len(cand_a)], both[len(cand_a):]
+        else:
+            emb_a = self._embed_speech(cand_a)
+            emb_b = self._embed_speech(cand_b)
         decisions = match_mismatch_decide(eeg_emb, emb_a, emb_b)
         return {"decisions": decisions.tolist()}
 
@@ -226,6 +366,9 @@ class _Handler(BaseHTTPRequestHandler):
         except json.JSONDecodeError as e:
             self._send_json(400, {"error": f"invalid JSON body: {e}"})
             return
+        except Exception as e:  # noqa: BLE001 — model/shape errors -> 500
+            self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
         if isinstance(result, np.ndarray):
             if NPY_CONTENT_TYPE in self.headers.get("Accept", ""):
                 self._send_npy(result)
@@ -286,6 +429,11 @@ def main(argv=None) -> int:
     ap.add_argument("--capacity", type=int, default=0,
                     help="retrieval index capacity; 0 disables retrieval "
                          "unless --candidates is given")
+    ap.add_argument("--batch_window_ms", type=float, default=0.0,
+                    help="dynamic micro-batching: linger this long after a "
+                         "request arrives and coalesce everything that "
+                         "queued into one device dispatch (0 = off; 2-5 ms "
+                         "is a good start on the tunneled chip)")
     args = ap.parse_args(argv)
 
     from transformer_clip_eeg_tpu.serve import (
@@ -319,6 +467,7 @@ def main(argv=None) -> int:
             "speech_encoder": session.cfg.speech_encoder,
             "window_length": session.cfg.window_length,
         },
+        batch_window_ms=args.batch_window_ms,
     )
     httpd = make_server(service, args.host, args.port)
     print(f"serving {args.results_folder} on "
@@ -329,6 +478,7 @@ def main(argv=None) -> int:
         pass
     finally:
         httpd.server_close()
+        service.close()
     return 0
 
 

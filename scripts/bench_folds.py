@@ -131,17 +131,13 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    import os as _os
-
-    _flag = "--xla_tpu_scoped_vmem_limit_kib=49152"
-    _init = _os.environ.get("LIBTPU_INIT_ARGS", "")
-    if "scoped_vmem_limit" not in _init:
-        # the vmapped Pallas block backward needs ~25 MiB of scoped VMEM at
-        # the flagship depth (default limit 16 MiB); see cv.py --parallel
-        _os.environ["LIBTPU_INIT_ARGS"] = f"{_init} {_flag}".strip()
+    from transformer_clip_eeg_tpu.train.fold_parallel import (
+        ensure_scoped_vmem_budget,
+    )
     from transformer_clip_eeg_tpu.utils.platform import (
         honor_jax_platforms_env,
     )
 
+    ensure_scoped_vmem_budget()
     honor_jax_platforms_env()
     raise SystemExit(main())

@@ -175,7 +175,7 @@ def test_fold_parallel_auto_resume(fixture_root, tmp_path):
     root = str(tmp_path / "resume")
 
     first = FoldParallelTrainer(cfg, [0], union_f, union_a, root)
-    first.fit()
+    first_result = first.fit()
 
     again = FoldParallelTrainer(cfg, [0], union_f, union_a, root)
     assert again.resumed.all()
@@ -190,3 +190,47 @@ def test_fold_parallel_auto_resume(fixture_root, tmp_path):
         cfg, [0], union_f, union_a, str(tmp_path / "fresh")
     )
     assert not fresh.resumed.any()
+
+    # the resumed trainer must also know the val CE bar the checkpoint was
+    # saved at, so a worse first post-resume epoch cannot overwrite it
+    assert np.isfinite(again.resume_best_loss).all()
+    np.testing.assert_allclose(
+        again.resume_best_loss, first_result["best_loss"], rtol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_fold_parallel_resume_keeps_best_checkpoint(fixture_root, tmp_path):
+    """A resumed sweep whose epochs are all worse than the recorded best
+    must leave the saved best checkpoint untouched."""
+    from transformer_clip_eeg_tpu.train import checkpoint as ckpt_lib
+
+    cfg = _cfg(fixture_root, epochs=2)
+    union_f, union_a = _union(fixture_root, cfg)
+    root = str(tmp_path / "keepbest")
+
+    first = FoldParallelTrainer(cfg, [0], union_f, union_a, root)
+    res1 = first.fit()
+    ckpt_dir = os.path.join(res1["fold_dirs"][0], "checkpoints")
+    saved_best = ckpt_lib.load_best_meta(ckpt_dir)
+    assert saved_best is not None
+    np.testing.assert_allclose(saved_best, res1["best_loss"][0], rtol=1e-6)
+    params_before = jax.device_get(first.fold_state(0).params)
+
+    # pretend the recorded best is unbeatable: the resumed run's epochs
+    # cannot improve on it, so neither checkpoint nor meta may change
+    ckpt_lib.save_best_meta(ckpt_dir, 0.0)
+    again = FoldParallelTrainer(cfg, [0], union_f, union_a, root)
+    np.testing.assert_allclose(again.resume_best_loss, [0.0])
+    res2 = again.fit()
+    assert res2["best_loss"][0] == 0.0  # never "improved"
+    assert ckpt_lib.load_best_meta(ckpt_dir) == 0.0
+    restored = ckpt_lib.restore_checkpoint(
+        ckpt_dir, jax.tree.map(lambda x: x[0], again.states)
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        restored.params, params_before,
+    )

@@ -168,6 +168,67 @@ def test_http_error_codes(server):
     assert e.value.code == 400
 
 
+def test_404_drains_body_keepalive(server):
+    """A 404 with an unread POST body must not desync HTTP/1.1 keep-alive:
+    the next request on the same connection has to succeed."""
+    import http.client
+
+    host, port = server.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port))
+    try:
+        body = json.dumps({"windows": [[[0.0] * EEG_C] * T]}).encode()
+        conn.request("POST", "/v1/nope", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        # second, valid request on the SAME connection
+        conn.request("GET", "/healthz")
+        resp2 = conn.getresponse()
+        assert resp2.status == 200
+        assert json.loads(resp2.read())["status"] == "ok"
+    finally:
+        conn.close()
+
+
+def test_query_param_false_disables_normalize(server, session):
+    """?normalize=false must be parsed as boolean False, not a truthy
+    string that silently enables MVN."""
+    rng = np.random.default_rng(21)
+    eeg = (3.0 + rng.standard_normal((2, T, EEG_C))).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, eeg)
+    headers = {"Content-Type": NPY_CONTENT_TYPE, "Accept": NPY_CONTENT_TYPE}
+    out_false = _post(f"{server}/v1/embed/eeg?normalize=false",
+                      body=buf.getvalue(), headers=headers)
+    out_true = _post(f"{server}/v1/embed/eeg?normalize=true",
+                     body=buf.getvalue(), headers=headers)
+    want_raw = np.asarray(session.embed_eeg(eeg))
+    want_mvn = np.asarray(session.embed_eeg(eeg, normalize=True))
+    np.testing.assert_allclose(out_false, want_raw, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out_true, want_mvn, rtol=1e-5, atol=1e-5)
+
+
+def test_empty_npy_body_is_400(server):
+    """np.load raises EOFError on an empty body — must map to 400, not 500."""
+    req = urllib.request.Request(
+        f"{server}/v1/embed/eeg", data=b"",
+        headers={"Content-Type": NPY_CONTENT_TYPE},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    assert "invalid .npy body" in json.loads(e.value.read())["error"]
+
+
+def test_non_integer_k_is_400(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server}/v1/retrieval/topk",
+              {"queries": [[0.0, 1.0]], "k": "abc"})
+    assert e.value.code == 400
+    assert "k must be an integer" in json.loads(e.value.read())["error"]
+
+
 def test_service_without_index_rejects_retrieval(session):
     service = EmbeddingService(session, index=None)
     with pytest.raises(ServiceError) as e:

@@ -94,14 +94,11 @@ def main(argv=None) -> int:
     args, passthrough = parser.parse_known_args(argv)
 
     if args.parallel == "yes":
-        # the vmapped Pallas block backward stages fold-sliced operands on
-        # the scoped-VMEM stack; the default 16 MiB limit overflows at the
-        # flagship depth (measured 25.1 MiB) — must be set before backend
-        # init (scripts/bench_folds.py measured with the same flag)
-        flag = "--xla_tpu_scoped_vmem_limit_kib=49152"
-        init_args = os.environ.get("LIBTPU_INIT_ARGS", "")
-        if "scoped_vmem_limit" not in init_args:
-            os.environ["LIBTPU_INIT_ARGS"] = f"{init_args} {flag}".strip()
+        from transformer_clip_eeg_tpu.train.fold_parallel import (
+            ensure_scoped_vmem_budget,
+        )
+
+        ensure_scoped_vmem_budget()
 
     fold_dirs: Dict[int, str] = {}
     if args.parallel == "yes":

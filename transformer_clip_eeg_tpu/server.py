@@ -52,6 +52,22 @@ import numpy as np
 NPY_CONTENT_TYPE = "application/x-npy"
 
 
+def _coerce_query_value(val: str):
+    """Map a query-param string to the JSON value it stands for.
+
+    Booleans must be recognized explicitly: ``?normalize=false`` left as the
+    string ``"false"`` would be *truthy* and silently enable normalization.
+    """
+    low = val.lower()
+    if low in ("true", "yes", "on"):
+        return True
+    if low in ("false", "no", "off"):
+        return False
+    if val.lstrip("-").isdigit():
+        return int(val)
+    return val
+
+
 class ServiceError(Exception):
     """Client-visible error with an HTTP status."""
 
@@ -270,7 +286,12 @@ class EmbeddingService:
     def retrieval_topk(self, payload: dict) -> dict:
         index = self._require_index()
         arr = self._array(payload, "queries", "windows")
-        k = int(payload.get("k", 10))
+        try:
+            k = int(payload.get("k", 10))
+        except (TypeError, ValueError):
+            raise ServiceError(
+                400, f"k must be an integer, got {payload.get('k')!r}"
+            )
         if k < 1:
             raise ServiceError(400, f"k must be >= 1, got {k}")
         if arr.ndim == 3:  # EEG windows → embed first (coalescable)
@@ -350,10 +371,25 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send_json(404, {"error": f"no such route: {self.path}"})
 
+    def _drain_body(self):
+        """Consume the declared request body so HTTP/1.1 keep-alive stays in
+        sync when we reply without parsing it (e.g. 404): unread body bytes
+        would otherwise be parsed as the next request line."""
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            length = 0
+        while length > 0:
+            chunk = self.rfile.read(min(length, 1 << 20))
+            if not chunk:
+                break
+            length -= len(chunk)
+
     def do_POST(self):  # noqa: N802 — stdlib casing
         url = urlparse(self.path)
         route = self.POST_ROUTES.get(url.path)
         if route is None:
+            self._drain_body()
             self._send_json(404, {"error": f"no such route: {url.path}"})
             return
         method, npy_field = route
@@ -378,7 +414,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(200, result)
 
     def _read_payload(self, url, npy_field: Optional[str]) -> dict:
-        length = int(self.headers.get("Content-Length", 0))
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            raise ServiceError(400, "invalid Content-Length header")
         body = self.rfile.read(length)
         ctype = self.headers.get("Content-Type", "application/json")
         if ctype.startswith(NPY_CONTENT_TYPE):
@@ -388,13 +427,13 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             try:
                 arr = np.load(io.BytesIO(body), allow_pickle=False)
-            except ValueError as e:
+            except (ValueError, EOFError, OSError) as e:
+                # np.load raises EOFError on an empty body and OSError on
+                # truncated magic — all are malformed client input, not 500s
                 raise ServiceError(400, f"invalid .npy body: {e}")
             payload: dict = {npy_field: arr}
             for key, vals in parse_qs(url.query).items():
-                payload[key] = (
-                    int(vals[0]) if vals[0].lstrip("-").isdigit() else vals[0]
-                )
+                payload[key] = _coerce_query_value(vals[0])
             return payload
         return json.loads(body or b"{}")
 

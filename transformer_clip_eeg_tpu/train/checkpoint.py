@@ -71,6 +71,33 @@ def restore_checkpoint(
     )
 
 
+BEST_META_NAME = "best_meta.json"
+
+
+def save_best_meta(checkpoint_dir: str, best_loss: float) -> None:
+    """Record the val loss_ce the best checkpoint was saved at, so a resumed
+    run knows the bar to beat instead of overwriting the saved best with its
+    first (possibly worse) post-resume epoch."""
+    import json
+
+    with open(os.path.join(checkpoint_dir, BEST_META_NAME), "w") as f:
+        json.dump({"best_loss": float(best_loss)}, f)
+
+
+def load_best_meta(checkpoint_dir: str) -> Optional[float]:
+    """Best val loss_ce recorded next to the checkpoint; None if absent."""
+    import json
+
+    path = os.path.join(checkpoint_dir, BEST_META_NAME)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return float(json.load(f)["best_loss"])
+    except (ValueError, KeyError, OSError):
+        return None
+
+
 TORCH_CKPT_NAME = "model.ckpt"
 
 

@@ -72,6 +72,23 @@ from transformer_clip_eeg_tpu.train.steps import (
 Array = jax.Array
 
 
+def ensure_scoped_vmem_budget() -> None:
+    """Raise libtpu's scoped-VMEM limit for the vmapped Pallas backward.
+
+    The fold-vmapped Pallas block backward stages fold-sliced operands on
+    the scoped-VMEM stack; the default 16 MiB limit overflows at the
+    flagship depth (measured 25.1 MiB via scripts/bench_folds.py).  Env
+    vars must be set before TPU backend init, so this runs at trainer
+    construction (before the first device dispatch) and is a no-op when a
+    limit is already configured or on non-TPU backends (libtpu ignores the
+    variable there).
+    """
+    flag = "--xla_tpu_scoped_vmem_limit_kib=49152"
+    init_args = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "scoped_vmem_limit" not in init_args:
+        os.environ["LIBTPU_INIT_ARGS"] = f"{init_args} {flag}".strip()
+
+
 def _select(valid_f: Array, new, old):
     """Per-fold state select: keep ``new`` where ``valid_f`` (shape [F])."""
     return jax.tree.map(
@@ -183,6 +200,7 @@ class FoldParallelTrainer:
         results_root: str,
         row_bucket: int = 8,
     ):
+        ensure_scoped_vmem_budget()
         self.cfg = cfg
         self.folds = list(folds)
         F = len(self.folds)
@@ -282,8 +300,11 @@ class FoldParallelTrainer:
         )
 
         # auto-resume: each fold restores its own checkpoint if one exists
-        # (ref train_clip_final.py:443-449, per run dir)
+        # (ref train_clip_final.py:443-449, per run dir), plus the val CE it
+        # was saved at, so fit() won't overwrite the saved best with the
+        # first post-resume epoch's (possibly worse) model
         self.resumed = np.zeros(F, bool)
+        self.resume_best_loss = np.full(F, np.inf)
         for j, d in enumerate(self.fold_dirs):
             restored = ckpt_lib.restore_checkpoint(
                 os.path.join(d, "checkpoints"), state0
@@ -293,6 +314,9 @@ class FoldParallelTrainer:
                     lambda s, r, _j=j: s.at[_j].set(r), self.states, restored
                 )
                 self.resumed[j] = True
+                meta = ckpt_lib.load_best_meta(os.path.join(d, "checkpoints"))
+                if meta is not None:
+                    self.resume_best_loss[j] = meta
         if self.resumed.any():
             printf(
                 "auto-resumed folds "
@@ -395,7 +419,9 @@ class FoldParallelTrainer:
         cfg = self.cfg
         F = len(self.folds)
         rng_key = jax.random.PRNGKey(cfg.seed + 1)
-        best_loss = np.full(F, np.inf)
+        # resumed folds start from their recorded best val CE; best_epoch
+        # stays 0 so patience counts from the resume point
+        best_loss = self.resume_best_loss.copy()
         best_epoch = np.zeros(F, np.int64)
         active = np.ones(F, bool)
         best_states = jax.tree.map(jnp.copy, self.states)
@@ -477,10 +503,12 @@ class FoldParallelTrainer:
                 # save each improved fold now (ref :531-540) so a killed
                 # sweep auto-resumes from every fold's best so far
                 for j in np.where(improved)[0]:
+                    ckpt_dir = os.path.join(self.fold_dirs[j], "checkpoints")
                     ckpt_lib.save_checkpoint(
-                        os.path.join(self.fold_dirs[j], "checkpoints"),
+                        ckpt_dir,
                         jax.tree.map(lambda x, _j=j: x[_j], best_states),
                     )
+                    ckpt_lib.save_best_meta(ckpt_dir, best_loss[j])
 
         # folds that never improved (e.g. epochs == 0) still get their
         # initial/best state on disk so the eval suite can load the run dir

@@ -50,8 +50,15 @@ def _run_parallel(folds: List[int], results_folder: str, passthrough) -> Dict[in
         cfg.number_of_training_subjects, debug=cfg.is_debug,
     )
     union_f, union_a = files0[0] + files0[1], files0[4] + files0[5]
+    mesh = None
+    if cfg.n_data_shards and cfg.n_data_shards > 1:
+        # in fold-parallel mode the 'data' mesh axis shards the FOLD axis
+        # (folds are independent — zero-collective scale-out), not the batch
+        from transformer_clip_eeg_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.n_data_shards)
     trainer = FoldParallelTrainer(
-        cfg, folds, union_f, union_a, results_folder
+        cfg, folds, union_f, union_a, results_folder, mesh=mesh
     )
     out = trainer.fit()
     print(

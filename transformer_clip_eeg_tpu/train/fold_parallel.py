@@ -100,6 +100,46 @@ def _select(valid_f: Array, new, old):
     )
 
 
+def _fold_shard_map(scan_step, mesh, row_args: int, trailing_rng: bool):
+    """Wrap a fold-scan body in :func:`jax.shard_map` over the 'data' axis.
+
+    Why manual SPMD and not GSPMD sharding annotations: a ``vmap``-ed
+    convolution carries the fold axis into the kernel operand (a grouped
+    conv), and XLA's SPMD partitioner computes WRONG VALUES when that group
+    axis is sharded (reproduced on CPU, jax 0.9: vmapped
+    ``lax.conv_general_dilated`` with the vmap axis sharded diverges by
+    O(10) absolute from the unsharded program — fold data crosses between
+    groups).  ``shard_map`` gives each device its local fold slice and runs
+    the ordinary unpartitioned per-fold program — bit-identical per-fold
+    numerics by construction, and zero collectives since folds are
+    independent.
+
+    Spec layout (matching the scan-step signatures below): arg 0 is the
+    fold-stacked state (leading F axis on every leaf), args 1-3 are the
+    replicated chunk arrays, the remaining array args are ``[n_rows, F,
+    ...]`` index/valid matrices, and a trailing replicated rng key may
+    follow.  Losses come back ``{k: [n_rows, F]}``.
+    """
+    from jax.sharding import PartitionSpec
+
+    from transformer_clip_eeg_tpu.parallel.mesh import DATA_AXIS
+
+    fold = PartitionSpec(DATA_AXIS)
+    rows = PartitionSpec(None, DATA_AXIS)
+    rep = PartitionSpec()
+    # (states, eeg_chunk, speech_chunk, ids_chunk, *row_matrices[, rng])
+    in_specs = [fold, rep, rep, rep] + [rows] * row_args
+    if trailing_rng:
+        in_specs.append(rep)
+    return jax.shard_map(
+        scan_step,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(fold, rows),
+        check_vma=False,
+    )
+
+
 def make_fold_scan_step(
     model_arch: str,
     augmentations: Sequence[str] = (),
@@ -107,6 +147,7 @@ def make_fold_scan_step(
     add_eeg: bool = False,
     donate: bool = True,
     compute_dtype=None,
+    mesh=None,
 ) -> callable:
     """All folds × all of a chunk's batches in ONE dispatch.
 
@@ -115,6 +156,10 @@ def make_fold_scan_step(
     -> (states, losses {k: [n, F]})`` where ``states`` is a fold-stacked
     :class:`TrainState`.  ``valid[i, f] == 0`` runs fold f's step but keeps
     its pre-step state (row padding / fold not training on this chunk).
+
+    With ``mesh``, the fold axis is sharded over the mesh's 'data' axis via
+    :func:`jax.shard_map` (see :func:`_fold_shard_map` for why not GSPMD) —
+    one fold group per device, chunk data replicated.
     """
     base = make_train_step(
         model_arch,
@@ -125,36 +170,47 @@ def make_fold_scan_step(
         compute_dtype=compute_dtype,
     )
 
-    def scan_step(
-        states, eeg_chunk, speech_chunk, ids_chunk, idx_mat, subs_mat,
-        partner_mat, valid, rng, warmup: bool,
-    ):
-        def body(sts, inp):
-            idx, subs, partner, v = inp  # [F, bs], [F]
+    def make_scan(warmup: bool):
+        def scan_step(
+            states, eeg_chunk, speech_chunk, ids_chunk, idx_mat, subs_mat,
+            partner_mat, valid, rng,
+        ):
+            def body(sts, inp):
+                idx, subs, partner, v = inp  # [F, bs], [F]
 
-            def per_fold(st, idx_f, subs_f, partner_f):
-                batch = gather_batch(
-                    eeg_chunk, speech_chunk, ids_chunk, idx_f, subs_f,
-                    add_eeg=add_eeg, partner=partner_f,
-                )
-                return base(st, batch, rng, warmup=warmup)
+                def per_fold(st, idx_f, subs_f, partner_f):
+                    batch = gather_batch(
+                        eeg_chunk, speech_chunk, ids_chunk, idx_f, subs_f,
+                        add_eeg=add_eeg, partner=partner_f,
+                    )
+                    return base(st, batch, rng, warmup=warmup)
 
-            new_sts, losses = jax.vmap(per_fold)(sts, idx, subs, partner)
-            return _select(v, new_sts, sts), losses
+                new_sts, losses = jax.vmap(per_fold)(sts, idx, subs, partner)
+                return _select(v, new_sts, sts), losses
 
-        return jax.lax.scan(
-            body, states, (idx_mat, subs_mat, partner_mat, valid)
-        )
+            return jax.lax.scan(
+                body, states, (idx_mat, subs_mat, partner_mat, valid)
+            )
+
+        return scan_step
+
+    def step(states, eeg_chunk, speech_chunk, ids_chunk, idx_mat, subs_mat,
+             partner_mat, valid, rng, warmup: bool):
+        fn = make_scan(warmup)
+        if mesh is not None:
+            fn = _fold_shard_map(fn, mesh, row_args=4, trailing_rng=True)
+        return fn(states, eeg_chunk, speech_chunk, ids_chunk, idx_mat,
+                  subs_mat, partner_mat, valid, rng)
 
     return jax.jit(
-        scan_step,
+        step,
         static_argnames=("warmup",),
         donate_argnums=(0,) if donate else (),
     )
 
 
 def make_fold_eval_scan_step(
-    model_arch: str, donate: bool = True
+    model_arch: str, donate: bool = True, mesh=None
 ) -> callable:
     """Validation twin of :func:`make_fold_scan_step` (no grads; memory bank
     still updates, gated per fold by ``valid``)."""
@@ -176,7 +232,12 @@ def make_fold_eval_scan_step(
 
         return jax.lax.scan(body, states, (idx_mat, subs_mat, valid))
 
-    return jax.jit(scan_step, donate_argnums=(0,) if donate else ())
+    fn = (
+        _fold_shard_map(scan_step, mesh, row_args=3, trailing_rng=False)
+        if mesh is not None
+        else scan_step
+    )
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def _story_of_chunk_key(key: str) -> str:
@@ -184,11 +245,21 @@ def _story_of_chunk_key(key: str) -> str:
 
 
 class FoldParallelTrainer:
-    """Train several CV folds concurrently on one chip.
+    """Train several CV folds concurrently on one chip — or, with ``mesh``,
+    shard the fold axis over the 'data' mesh axis so a multi-chip host
+    trains one fold group per chip in a single program.
 
     ``cfg.run`` is ignored; ``folds`` lists the validation folds to train
     (e.g. ``[0, 1, 2, 3, 4]``).  ``union_files``/``union_audio`` must cover
     every story of CV folds 0–8 (train ∪ val of any single fold).
+
+    Fold-sharding semantics: folds are independent programs vmapped over a
+    stacked ``[F, ...]`` axis, so sharding that axis over the mesh needs
+    ZERO collectives — GSPMD partitions every per-fold op locally and each
+    device runs its folds against a replicated copy of the chunk data.
+    ``len(folds)`` must divide evenly over the mesh's 'data' axis.
+    Per-fold numerics are identical to the unsharded trainer
+    (``tests/test_fold_parallel.py``).
     """
 
     def __init__(
@@ -199,6 +270,7 @@ class FoldParallelTrainer:
         union_audio: Sequence[str],
         results_root: str,
         row_bucket: int = 8,
+        mesh=None,
     ):
         ensure_scoped_vmem_budget()
         self.cfg = cfg
@@ -207,6 +279,27 @@ class FoldParallelTrainer:
         self.results_root = results_root
         self.row_bucket = row_bucket
         os.makedirs(results_root, exist_ok=True)
+
+        self.mesh = mesh
+        store_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from transformer_clip_eeg_tpu.parallel.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            if F % n_data != 0:
+                raise ValueError(
+                    f"{F} folds do not shard evenly over the mesh's "
+                    f"{n_data}-device '{DATA_AXIS}' axis"
+                )
+            # states lead with the fold axis; index matrices are
+            # [n_rows, F, ...]; chunk data is replicated to every device
+            self._fold_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            self._row_sharding = NamedSharding(
+                mesh, PartitionSpec(None, DATA_AXIS)
+            )
+            store_sharding = NamedSharding(mesh, PartitionSpec())
 
         with open(cfg.fold_split_path) as f:
             split = json.load(f)
@@ -229,7 +322,7 @@ class FoldParallelTrainer:
             data_augmentation_probability=cfg.data_augmentation_percentage,
             seed=cfg.seed,
         )
-        self.store = DeviceChunkStore(self.dataset)
+        self.store = DeviceChunkStore(self.dataset, sharding=store_sharding)
         # one sampling stream per fold, mirroring each sequential run's
         # dataset rng; plus a shared stream for the chunk order and mixup
         self.fold_rngs = [np.random.default_rng(cfg.seed) for _ in folds]
@@ -324,6 +417,8 @@ class FoldParallelTrainer:
                 "from their checkpoints",
                 self.loss_file,
             )
+        if mesh is not None:
+            self.states = jax.device_put(self.states, self._fold_sharding)
 
         compute_dtype = (
             cfg.compute_dtype if cfg.compute_dtype != "float32" else None
@@ -331,9 +426,9 @@ class FoldParallelTrainer:
         self.train_scan = make_fold_scan_step(
             cfg.model_arch, cfg.augmentations,
             cfg.data_augmentation_percentage, cfg.addEEG_b,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, mesh=mesh,
         )
-        self.eval_scan = make_fold_eval_scan_step(cfg.model_arch)
+        self.eval_scan = make_fold_eval_scan_step(cfg.model_arch, mesh=mesh)
 
         printf(
             f"fold-parallel over folds {self.folds}: "
@@ -396,6 +491,10 @@ class FoldParallelTrainer:
             idx, subs, partner, valid = self._chunk_rows(
                 key, participate, cfg.addEEG_b and train
             )
+            if self.mesh is not None:
+                idx, subs, partner, valid = jax.device_put(
+                    (idx, subs, partner, valid), self._row_sharding
+                )
             eeg_d, speech_d, ids_d, _, _ = self.store.get(key)
             if train:
                 self.states, losses = self.train_scan(
@@ -497,9 +596,11 @@ class FoldParallelTrainer:
             if improved.any():
                 best_loss = np.where(improved, val_ce, best_loss)
                 best_epoch = np.where(improved, epoch, best_epoch)
-                best_states = _select(
-                    jnp.asarray(improved), self.states, best_states
-                )
+                mask = jnp.asarray(improved)
+                if self.mesh is not None:
+                    # keep best_states fold-sharded like self.states
+                    mask = jax.device_put(mask, self._fold_sharding)
+                best_states = _select(mask, self.states, best_states)
                 # save each improved fold now (ref :531-540) so a killed
                 # sweep auto-resumes from every fold's best so far
                 for j in np.where(improved)[0]:

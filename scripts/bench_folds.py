@@ -39,12 +39,20 @@ from transformer_clip_eeg_tpu.train.state import (
     make_optimizer,
 )
 
-WL, BS, SPEECH_DIM, N_ROWS = 192, 128, 1024, 8
-N_WIN, N_SUBS = 192, 8  # device chunk: windows per chunk, subjects
+SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"  # tiny-shape CPU smoke run
+if SMOKE:
+    WL, BS, SPEECH_DIM, N_ROWS = 32, 8, 16, 2
+    N_WIN, N_SUBS = 16, 4
+    DEPTH = 2
+else:
+    WL, BS, SPEECH_DIM, N_ROWS = 192, 128, 1024, 8
+    N_WIN, N_SUBS = 192, 8  # device chunk: windows per chunk, subjects
+    DEPTH = 10
 
 
 def build_flagship(bank_size: int):
-    eeg = load_eeg_encoder("EEGConformerInterleaved", 128, 128, 1, WL, 8, 10)
+    eeg = load_eeg_encoder("EEGConformerInterleaved", 128, 128, 1, WL, 8,
+                           DEPTH)
     speech = load_speech_encoder("convLSTM", 128, 128, 1, WL, 3, SPEECH_DIM, 8)
     return build_model(
         "clip_sim_no_latent_proj", eeg, speech, window_length=WL,
@@ -57,16 +65,36 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--folds", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--n_data_shards", type=int, default=0,
+                    help="shard the fold axis over an N-device 'data' mesh "
+                         "(fold counts must divide by N); 0 = single device")
     args = ap.parse_args()
 
+    mesh = None
+    fold_sh = row_sh = rep_sh = None
+    if args.n_data_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from transformer_clip_eeg_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.n_data_shards)
+        fold_sh = NamedSharding(mesh, P("data"))
+        row_sh = NamedSharding(mesh, P(None, "data"))
+        rep_sh = NamedSharding(mesh, P())
+
+    def put(x, sh=None):
+        return jax.device_put(x, sh) if sh is not None else jax.device_put(x)
+
     rng = np.random.default_rng(0)
-    eeg_c = jax.device_put(
-        rng.standard_normal((N_SUBS, N_WIN, WL, 64)).astype(np.float32)
+    eeg_c = put(
+        rng.standard_normal((N_SUBS, N_WIN, WL, 64)).astype(np.float32),
+        rep_sh,
     )
-    sp_c = jax.device_put(
-        rng.standard_normal((N_WIN, WL, SPEECH_DIM)).astype(np.float32)
+    sp_c = put(
+        rng.standard_normal((N_WIN, WL, SPEECH_DIM)).astype(np.float32),
+        rep_sh,
     )
-    ids_c = jax.device_put(np.arange(1, N_WIN + 1, dtype=np.int32))
+    ids_c = put(np.arange(1, N_WIN + 1, dtype=np.int32), rep_sh)
 
     model = build_flagship(bank_size=N_WIN)
     tx = make_optimizer("adamw", 1e-3)
@@ -79,10 +107,18 @@ def main() -> int:
 
     results = {}
     for F in args.folds:
+        if mesh is not None and F % args.n_data_shards != 0:
+            print(f"F={F}: skipped (does not divide over "
+                  f"{args.n_data_shards} shards)")
+            continue
         states = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (F,) + x.shape).copy(), state0
         )
-        step = make_fold_scan_step("clip_sim_no_latent_proj", donate=True)
+        if fold_sh is not None:
+            states = jax.device_put(states, fold_sh)
+        step = make_fold_scan_step(
+            "clip_sim_no_latent_proj", donate=True, mesh=mesh
+        )
 
         def draw():
             idx = np.stack(
@@ -92,9 +128,13 @@ def main() -> int:
                 ]
             ).astype(np.int32)  # [n, F, bs]
             subs = rng.integers(0, N_SUBS, (N_ROWS, F, BS)).astype(np.int32)
+            if row_sh is not None:
+                idx, subs = jax.device_put((idx, subs), row_sh)
             return idx, subs
 
         valid = np.ones((N_ROWS, F), bool)
+        if row_sh is not None:
+            valid = jax.device_put(valid, row_sh)
         # warmup / compile
         for _ in range(2):
             idx, subs = draw()
@@ -118,7 +158,10 @@ def main() -> int:
         print(f"F={F}: {pairs / dt:.1f} pairs/s aggregate "
               f"({dt / args.iters * 1e3:.1f} ms/chunk-call)")
 
-    base = results[args.folds[0]]
+    if not results:
+        print("no fold counts ran (check --folds vs --n_data_shards)")
+        return 1
+    base = results[min(results)]
     out = {
         "metric": "fold_parallel_aggregate_pairs_per_s",
         "per_fold_count": {str(k): v for k, v in results.items()},

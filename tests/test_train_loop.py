@@ -103,9 +103,18 @@ def test_trainer_learns_and_checkpoints(fixture_root, tmp_path):
     assert loaded.model_arch == cfg.model_arch
 
     # resume: a fresh trainer on the same results dir restores the checkpoint
+    # AND the best-val-CE bar it was saved at (best_meta.json) — a resumed
+    # run whose epochs are all worse must not overwrite the saved best
+    from transformer_clip_eeg_tpu.train import checkpoint as ckpt_lib
+
+    ckpt_dir = os.path.join(results_dir, "checkpoints")
+    meta = ckpt_lib.load_best_meta(ckpt_dir)
+    assert meta == pytest.approx(out["best_loss"], rel=1e-6)
+    ckpt_lib.save_best_meta(ckpt_dir, 0.0)  # pretend the best is unbeatable
     trainer2 = Trainer(cfg, train_ds, val_ds, results_dir=results_dir)
     restored_from = trainer2.fit()
-    assert restored_from["best_loss"] <= out["best_loss"] + 0.5
+    assert restored_from["best_loss"] == 0.0  # never "improved"
+    assert ckpt_lib.load_best_meta(ckpt_dir) == 0.0
 
 
 def test_scheduler_semantics():

@@ -375,7 +375,15 @@ class Trainer:
             )
 
         self._train_rng = jax.random.PRNGKey(cfg.seed + 1)
+        # a resumed run starts from the recorded best val CE (best_meta.json
+        # next to the checkpoint) so its first — possibly worse — epoch
+        # cannot overwrite the saved best; the reference restarts from inf
+        # (ref :452-460), losing the bar on resume
         best_loss = float("inf")
+        if restored is not None:
+            meta = ckpt_lib.load_best_meta(self.checkpoint_dir)
+            if meta is not None:
+                best_loss = meta
         best_epoch = 0
         # deep copy (ref keeps a CPU best_state_dict, :463-468): the live
         # state's buffers are donated into every train/eval step, so an
@@ -468,6 +476,7 @@ class Trainer:
             if val_metrics["loss_ce"] < best_loss:
                 ckpt_lib.save_checkpoint(self.checkpoint_dir, self.state)
                 best_loss = val_metrics["loss_ce"]
+                ckpt_lib.save_best_meta(self.checkpoint_dir, best_loss)
                 best_epoch = epoch
                 best_state = jax.tree.map(jnp.copy, self.state)
         else:

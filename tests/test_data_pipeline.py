@@ -100,6 +100,27 @@ def test_ingest_matches_reference(fixture_root):
     )
 
 
+def test_parallel_ingest_matches_serial(fixture_root):
+    """io_workers>1 overlaps np.load I/O but must produce byte-identical
+    chunks (identifier numbering depends on consumption order)."""
+    root = fixture_root["root"]
+    split_json = os.path.join(root, "fold_split.json")
+    tr, _va, _te, _teh, tra, *_ = get_train_val_test_files_final(
+        root, 0, "wav2vec_19", split_json, 1000
+    )
+    serial = EEGWindowDataset(tr, tra, WL, WL, batch_size=4, seed=0,
+                              io_workers=1)
+    threaded = EEGWindowDataset(tr, tra, WL, WL, batch_size=4, seed=0,
+                                io_workers=4)
+    assert list(serial.chunks.keys()) == list(threaded.chunks.keys())
+    for key in serial.chunks:
+        a, b = serial.chunks[key], threaded.chunks[key]
+        assert a["identifiers"] == b["identifiers"]
+        assert a["sub"] == b["sub"]
+        np.testing.assert_array_equal(a["eeg"], b["eeg"])
+        np.testing.assert_array_equal(a["wav2vec_19"], b["wav2vec_19"])
+
+
 def test_iteration_contract(fixture_root):
     """Yielded batches must be self-consistent gathers of the chunk data."""
     ours, _ = _build_datasets(fixture_root)

@@ -96,6 +96,7 @@ class EEGWindowDataset:
         shuffle: bool = False,
         shuffle_percentage: float = 0.5,
         seed: Optional[int] = None,
+        io_workers: Optional[int] = None,
     ):
         self.exclusion_list = list(exclusion_list)
         files = self.exclude_subjects(list(files), self.exclusion_list)
@@ -114,6 +115,9 @@ class EEGWindowDataset:
         self._aug_fn = None  # built lazily (jax import only when needed)
 
         self.features_to_load = self.filter_features(self.audio_files)
+        if io_workers is None:
+            io_workers = min(8, os.cpu_count() or 1)
+        self.io_workers = max(1, int(io_workers))
         self.chunks: Dict[str, Dict] = self.load_files(
             self.eeg_files, self.audio_files
         )
@@ -165,10 +169,35 @@ class EEGWindowDataset:
     def load_files(self, eeg_dict, audio_dict) -> Dict[str, Dict]:
         """Core ingestion (ref dataset_loader.py:197-281), semantics preserved
         exactly (chunk counts, padding, identifier numbering, channel guard).
+
+        I/O is overlapped: all ``np.load`` reads are submitted to a thread
+        pool up front (``io_workers``; numpy releases the GIL during file
+        reads) and the sequential bookkeeping loop consumes them in the
+        original order, so chunk layout and identifier numbering are
+        byte-identical to the serial path.
         """
         wl, hop, bs = self.window_length, self.hop_length, self.batch_size
         chunks: Dict[str, Dict] = {}
         id_max = 0
+
+        loaded = {}
+        if self.io_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            all_paths = [
+                p
+                for story, eeg_files in eeg_dict.items()
+                for p in (
+                    list(audio_dict.get(story, {}).values()) + list(eeg_files)
+                )
+            ]
+            pool = ThreadPoolExecutor(max_workers=self.io_workers)
+            loaded = {p: pool.submit(np.load, p) for p in all_paths}
+            pool.shutdown(wait=False)
+
+        def read(path):
+            fut = loaded.get(path)
+            return fut.result() if fut is not None else np.load(path)
 
         for story, eeg_files in eeg_dict.items():
             audio_files = audio_dict.get(story, {})
@@ -177,7 +206,7 @@ class EEGWindowDataset:
             total_len = 0
             first = True
             for feature_name, path in audio_files.items():
-                data = np.load(path)
+                data = read(path)
                 if "wav2vec" not in feature_name:
                     data = np.concatenate(data, axis=0)
                 if first:
@@ -202,7 +231,7 @@ class EEGWindowDataset:
                 continue
 
             for eeg_file in eeg_files:
-                data = np.load(eeg_file)
+                data = read(eeg_file)
                 data = np.transpose(data)
                 if data.shape[1] < 64:
                     print(f"eeg too short: {eeg_file} , {data.shape}")

@@ -152,6 +152,14 @@ def measure_reference() -> float:
 
 
 def main():
+    sys.path.insert(0, REPO)
+    from transformer_clip_eeg_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    # an explicit JAX_PLATFORMS=cpu must win over the sitecustomize-prepended
+    # TPU platform, or the smoke run hangs on a dead tunnel
+    honor_jax_platforms_env()
     ours = measure_ours()
 
     if SMOKE:

@@ -72,4 +72,9 @@ def main():
 
 
 if __name__ == "__main__":
+    from transformer_clip_eeg_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
     main()

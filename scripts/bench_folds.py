@@ -161,11 +161,14 @@ def main() -> int:
     if not results:
         print("no fold counts ran (check --folds vs --n_data_shards)")
         return 1
-    base = results[min(results)]
+    base_f = min(results)
+    base = results[base_f]
     out = {
         "metric": "fold_parallel_aggregate_pairs_per_s",
         "per_fold_count": {str(k): v for k, v in results.items()},
-        "speedup_vs_single": {
+        # the baseline is the smallest fold count that actually ran (F=1
+        # may be skipped under --n_data_shards) — name it honestly
+        f"speedup_vs_f{base_f}": {
             str(k): v / base for k, v in results.items()
         },
     }

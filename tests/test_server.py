@@ -229,6 +229,40 @@ def test_non_integer_k_is_400(server):
     assert "k must be an integer" in json.loads(e.value.read())["error"]
 
 
+def test_malformed_query_k_is_400(server):
+    """'--5' passes an isdigit() check after lstrip('-') but int() rejects
+    it — must surface as 400, not a 500 from the coercion layer."""
+    q = np.zeros((1, 2), np.float32)
+    buf = io.BytesIO()
+    np.save(buf, q)
+    req = urllib.request.Request(
+        f"{server}/v1/retrieval/topk?k=--5", data=buf.getvalue(),
+        headers={"Content-Type": NPY_CONTENT_TYPE},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+
+
+def test_get_with_body_keepalive(server):
+    """A GET carrying a body (legal, unusual) must not desync keep-alive."""
+    import http.client
+
+    host, port = server.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port))
+    try:
+        conn.request("GET", "/healthz", body=b"ignored-body-bytes")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+        conn.request("GET", "/healthz")
+        resp2 = conn.getresponse()
+        assert resp2.status == 200
+        assert json.loads(resp2.read())["status"] == "ok"
+    finally:
+        conn.close()
+
+
 def test_service_without_index_rejects_retrieval(session):
     service = EmbeddingService(session, index=None)
     with pytest.raises(ServiceError) as e:

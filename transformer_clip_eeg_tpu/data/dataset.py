@@ -170,17 +170,18 @@ class EEGWindowDataset:
         """Core ingestion (ref dataset_loader.py:197-281), semantics preserved
         exactly (chunk counts, padding, identifier numbering, channel guard).
 
-        I/O is overlapped: all ``np.load`` reads are submitted to a thread
-        pool up front (``io_workers``; numpy releases the GIL during file
-        reads) and the sequential bookkeeping loop consumes them in the
-        original order, so chunk layout and identifier numbering are
-        byte-identical to the serial path.
+        I/O is overlapped: ``np.load`` reads are submitted to a thread pool
+        (``io_workers``; numpy releases the GIL during file reads) with a
+        bounded read-ahead of ``2 × io_workers`` files — so peak host memory
+        stays near the serial path's — and the sequential bookkeeping loop
+        consumes them in the original order, keeping chunk layout and
+        identifier numbering byte-identical to the serial path.
         """
         wl, hop, bs = self.window_length, self.hop_length, self.batch_size
         chunks: Dict[str, Dict] = {}
         id_max = 0
 
-        loaded = {}
+        pool = None
         if self.io_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -192,12 +193,27 @@ class EEGWindowDataset:
                 )
             ]
             pool = ThreadPoolExecutor(max_workers=self.io_workers)
-            loaded = {p: pool.submit(np.load, p) for p in all_paths}
-            pool.shutdown(wait=False)
+            loaded: Dict[str, object] = {}
+            ahead = self.io_workers * 2  # bounded read-ahead: no host OOM
+            next_submit = 0
 
-        def read(path):
-            fut = loaded.get(path)
-            return fut.result() if fut is not None else np.load(path)
+            def _fill():
+                nonlocal next_submit
+                while next_submit < len(all_paths) and len(loaded) < ahead:
+                    p = all_paths[next_submit]
+                    next_submit += 1
+                    loaded[p] = pool.submit(np.load, p)
+
+            _fill()
+
+            def read(path):
+                fut = loaded.pop(path, None)
+                out = fut.result() if fut is not None else np.load(path)
+                _fill()
+                return out
+        else:
+            def read(path):
+                return np.load(path)
 
         for story, eeg_files in eeg_dict.items():
             audio_files = audio_dict.get(story, {})
@@ -267,6 +283,8 @@ class EEGWindowDataset:
                     else:
                         chunk["sub"].append(sub)
 
+        if pool is not None:
+            pool.shutdown(wait=True)  # ≤ `ahead` leftovers from skipped stories
         return chunks
 
     # -- sizing -------------------------------------------------------------

@@ -63,9 +63,12 @@ def _coerce_query_value(val: str):
         return True
     if low in ("false", "no", "off"):
         return False
-    if val.lstrip("-").isdigit():
+    try:
+        # int() is the authority — isdigit() admits strings int() rejects
+        # (e.g. '--5', superscript digits), which would 500 downstream
         return int(val)
-    return val
+    except ValueError:
+        return val
 
 
 class ServiceError(Exception):
@@ -366,6 +369,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):  # noqa: N802 — stdlib casing
+        self._drain_body()  # a GET body is unusual but legal; keep-alive sync
         if urlparse(self.path).path == "/healthz":
             self._send_json(200, self.service.healthz())
         else:
@@ -378,6 +382,8 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
+            # body length unknowable → the connection can't be resynced
+            self.close_connection = True
             length = 0
         while length > 0:
             chunk = self.rfile.read(min(length, 1 << 20))
@@ -417,6 +423,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
+            # the body length is unknowable, so keep-alive can't resync —
+            # close after replying instead of desyncing the next request
+            self.close_connection = True
             raise ServiceError(400, "invalid Content-Length header")
         body = self.rfile.read(length)
         ctype = self.headers.get("Content-Type", "application/json")

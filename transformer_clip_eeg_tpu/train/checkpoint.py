@@ -77,11 +77,21 @@ BEST_META_NAME = "best_meta.json"
 def save_best_meta(checkpoint_dir: str, best_loss: float) -> None:
     """Record the val loss_ce the best checkpoint was saved at, so a resumed
     run knows the bar to beat instead of overwriting the saved best with its
-    first (possibly worse) post-resume epoch."""
+    first (possibly worse) post-resume epoch.
+
+    Written atomically (temp file + ``os.replace``) and callers write it
+    BEFORE ``save_checkpoint``: a crash between the two then leaves a bar
+    that is lower than the on-disk checkpoint's quality, which keeps the old
+    checkpoint (conservative) rather than the reverse ordering's stale-high
+    bar that lets a worse model overwrite a better saved one.
+    """
     import json
 
-    with open(os.path.join(checkpoint_dir, BEST_META_NAME), "w") as f:
+    path = os.path.join(checkpoint_dir, BEST_META_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump({"best_loss": float(best_loss)}, f)
+    os.replace(tmp, path)
 
 
 def load_best_meta(checkpoint_dir: str) -> Optional[float]:

@@ -78,15 +78,23 @@ def ensure_scoped_vmem_budget() -> None:
     The fold-vmapped Pallas block backward stages fold-sliced operands on
     the scoped-VMEM stack; the default 16 MiB limit overflows at the
     flagship depth (measured 25.1 MiB via scripts/bench_folds.py).  Env
-    vars must be set before TPU backend init, so this runs at trainer
-    construction (before the first device dispatch) and is a no-op when a
-    limit is already configured or on non-TPU backends (libtpu ignores the
-    variable there).
+    vars must be set before TPU *backend init* (the first jax.devices() /
+    make_mesh call loads libtpu) — this module sets it at import time, and
+    CLI entry points call it explicitly before touching the backend.  No-op
+    when a limit is already configured or on non-TPU backends (libtpu
+    ignores the variable there).
     """
     flag = "--xla_tpu_scoped_vmem_limit_kib=49152"
     init_args = os.environ.get("LIBTPU_INIT_ARGS", "")
     if "scoped_vmem_limit" not in init_args:
         os.environ["LIBTPU_INIT_ARGS"] = f"{init_args} {flag}".strip()
+
+
+# The deadline for LIBTPU_INIT_ARGS is TPU *backend init* (e.g. the first
+# jax.devices()/make_mesh call), which library users may reach before
+# constructing a trainer — so set the budget at import time too.  The
+# in-constructor call remains as a belt-and-braces for exotic import orders.
+ensure_scoped_vmem_budget()
 
 
 def _select(valid_f: Array, new, old):
@@ -255,8 +263,10 @@ class FoldParallelTrainer:
 
     Fold-sharding semantics: folds are independent programs vmapped over a
     stacked ``[F, ...]`` axis, so sharding that axis over the mesh needs
-    ZERO collectives — GSPMD partitions every per-fold op locally and each
-    device runs its folds against a replicated copy of the chunk data.
+    ZERO collectives.  The sharding is manual SPMD via ``jax.shard_map``
+    (NOT GSPMD annotations — the partitioner computes wrong values for the
+    vmapped convs here, see :func:`_fold_shard_map`); each device runs its
+    fold group against a replicated copy of the chunk data.
     ``len(folds)`` must divide evenly over the mesh's 'data' axis.
     Per-fold numerics are identical to the unsharded trainer
     (``tests/test_fold_parallel.py``).
@@ -605,11 +615,12 @@ class FoldParallelTrainer:
                 # sweep auto-resumes from every fold's best so far
                 for j in np.where(improved)[0]:
                     ckpt_dir = os.path.join(self.fold_dirs[j], "checkpoints")
+                    # meta first — see save_best_meta's crash-ordering note
+                    ckpt_lib.save_best_meta(ckpt_dir, best_loss[j])
                     ckpt_lib.save_checkpoint(
                         ckpt_dir,
                         jax.tree.map(lambda x, _j=j: x[_j], best_states),
                     )
-                    ckpt_lib.save_best_meta(ckpt_dir, best_loss[j])
 
         # folds that never improved (e.g. epochs == 0) still get their
         # initial/best state on disk so the eval suite can load the run dir

@@ -472,11 +472,12 @@ class Trainer:
                 }
             )
 
-            # best-on-val-CE checkpoint (ref :531-540)
+            # best-on-val-CE checkpoint (ref :531-540); meta first — see
+            # save_best_meta's crash-ordering note
             if val_metrics["loss_ce"] < best_loss:
-                ckpt_lib.save_checkpoint(self.checkpoint_dir, self.state)
                 best_loss = val_metrics["loss_ce"]
                 ckpt_lib.save_best_meta(self.checkpoint_dir, best_loss)
+                ckpt_lib.save_checkpoint(self.checkpoint_dir, self.state)
                 best_epoch = epoch
                 best_state = jax.tree.map(jnp.copy, self.state)
         else:

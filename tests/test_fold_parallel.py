@@ -254,6 +254,36 @@ def test_fold_parallel_mesh_rejects_uneven_folds(fixture_root, tmp_path):
 
 
 @pytest.mark.slow
+def test_fold_run_dir_serves(fixture_root, tmp_path):
+    """A fold-parallel per-fold results dir (args.txt with persisted
+    bank_size + checkpoints/) must load straight into the serving layer."""
+    from transformer_clip_eeg_tpu.serve import InferenceSession
+
+    cfg = _cfg(fixture_root, epochs=1)
+    union_f, union_a = _union(fixture_root, cfg)
+    root = str(tmp_path / "servable")
+    trainer = FoldParallelTrainer(cfg, [0], union_f, union_a, root)
+    res = trainer.fit()
+
+    session = InferenceSession.from_results_dir(res["fold_dirs"][0], chunk=4)
+    rng = np.random.default_rng(0)
+    eeg = rng.standard_normal((2, cfg.window_length, 64)).astype(np.float32)
+    emb = np.asarray(session.embed_eeg(eeg))
+    assert emb.shape[0] == 2 and np.isfinite(emb).all()
+    # serving contract: L2-normalized rows
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
+    # the served weights are the fold's best checkpoint, not a fresh init:
+    # the session's params must equal the trainer's best fold state
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        jax.device_get(session.variables["params"]),
+        jax.device_get(trainer.fold_state(0).params),
+    )
+
+
+@pytest.mark.slow
 def test_fold_parallel_resume_keeps_best_checkpoint(fixture_root, tmp_path):
     """A resumed sweep whose epochs are all worse than the recorded best
     must leave the saved best checkpoint untouched."""

@@ -32,5 +32,16 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True)
+def _restore_default_prng_impl():
+    """Trainer construction sets the global default PRNG impl from
+    ``TrainConfig.prng_impl`` (rbg by default); snapshot/restore it per test
+    so a Trainer test can't change the streams a later test sees."""
+    before = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != before:
+        jax.config.update("jax_default_prng_impl", before)
+
+
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end test")

@@ -129,6 +129,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="encoder compute dtype (params/loss stay float32)")
+    p.add_argument("--prng_impl", type=str, default="rbg",
+                   choices=["rbg", "threefry2x32", "unsafe_rbg"],
+                   help="jax PRNG for dropout/augmentation streams; rbg is "
+                        "+16-20%% step throughput, threefry2x32 restores "
+                        "jax-default bit-reproducibility")
     return p
 
 

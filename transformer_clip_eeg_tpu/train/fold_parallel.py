@@ -283,6 +283,11 @@ class FoldParallelTrainer:
         mesh=None,
     ):
         ensure_scoped_vmem_budget()
+        from transformer_clip_eeg_tpu.utils.platform import (
+            configure_prng_impl,
+        )
+
+        configure_prng_impl(cfg.prng_impl)  # before any PRNGKey below
         self.cfg = cfg
         self.folds = list(folds)
         F = len(self.folds)

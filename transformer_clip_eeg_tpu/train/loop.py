@@ -146,6 +146,12 @@ class Trainer:
         # (SURVEY §5.1: the reference has no tracing at all)
         self.profile_dir = profile_dir
         self.cfg = config
+        from transformer_clip_eeg_tpu.utils.platform import (
+            configure_prng_impl,
+        )
+
+        # before any PRNGKey below (init, train rng) so they pick it up
+        configure_prng_impl(config.prng_impl)
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
         self.mesh = mesh

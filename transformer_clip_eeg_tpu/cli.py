@@ -203,6 +203,19 @@ def main(argv=None) -> int:
         f"train files: {len(train_files)}, val: {len(val_files)}, "
         f"test: {len(test_files)}, heldout: {len(test_files_heldout)}"
     )
+    if args.only_evaluate != "yes":
+        # fail with the real cause up front: on small datasets a fold may
+        # contain no stories, and the downstream "no stimulus features"
+        # error from the empty dataset misleads (it suggests a feature-name
+        # mismatch).  The reference crashes on this too (ZeroDivision in
+        # its val-loss average) — just later and less legibly.
+        for name, files in (("train", train_files), ("validation", val_files)):
+            if not files:
+                raise SystemExit(
+                    f"{name} split is empty: CV fold {cfg.run} matched no "
+                    f"stories under {cfg.data_dir} (check --run against "
+                    f"{cfg.fold_split_path})"
+                )
 
     train_ds = EEGWindowDataset(
         train_files,

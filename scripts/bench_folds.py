@@ -181,9 +181,14 @@ if __name__ == "__main__":
         ensure_scoped_vmem_budget,
     )
     from transformer_clip_eeg_tpu.utils.platform import (
+        configure_prng_impl,
         honor_jax_platforms_env,
     )
 
     ensure_scoped_vmem_budget()
     honor_jax_platforms_env()
+    # measure under the training default (TrainConfig.prng_impl): rbg
+    # dropout streams, matching what FoldParallelTrainer configures;
+    # JAX_DEFAULT_PRNG_IMPL env still wins
+    configure_prng_impl("rbg")
     raise SystemExit(main())

@@ -32,15 +32,25 @@ def rng():
     return np.random.default_rng(0)
 
 
+# Captured once at conftest import, before any fixture or test runs.  A
+# per-test before/after snapshot is NOT enough: module-scoped fixtures run
+# *before* a function-scoped autouse fixture's setup, so a module fixture
+# that constructs a Trainer (which applies cfg.prng_impl — rbg by default)
+# would be snapshotted as the "before" value and the rbg default would latch
+# for the rest of the session (observed: the fold-parallel vmap-exactness
+# tests fail under ambient rbg in full-suite order but pass standalone).
+_PRNG_IMPL_BASELINE = jax.config.jax_default_prng_impl
+
+
 @pytest.fixture(autouse=True)
 def _restore_default_prng_impl():
     """Trainer construction sets the global default PRNG impl from
-    ``TrainConfig.prng_impl`` (rbg by default); snapshot/restore it per test
-    so a Trainer test can't change the streams a later test sees."""
-    before = jax.config.jax_default_prng_impl
+    ``TrainConfig.prng_impl`` (rbg by default); restore the session baseline
+    after every test so no test (or module fixture) can change the streams a
+    later test sees."""
     yield
-    if jax.config.jax_default_prng_impl != before:
-        jax.config.update("jax_default_prng_impl", before)
+    if jax.config.jax_default_prng_impl != _PRNG_IMPL_BASELINE:
+        jax.config.update("jax_default_prng_impl", _PRNG_IMPL_BASELINE)
 
 
 def pytest_configure(config):

@@ -64,6 +64,53 @@ def test_rbg_streams_independent_under_vmap_and_scan():
     assert len({tuple(np.asarray(m)) for m in masks}) == 4
 
 
+def test_rbg_bits_under_vmap_are_position_dependent():
+    """The hazard that keeps fold-parallel on threefry streams: under rbg,
+    a vmapped draw differs from the same key's unbatched draw for rows ≥ 1
+    (XLA's RngBitGenerator block-generates across the batch), so per-row
+    streams depend on the row's position in the stack.  threefry's batching
+    rule is exact.  If a jax upgrade ever makes rbg exact under vmap, this
+    test fails and ``fold_scan_rng`` can be retired."""
+    configure_prng_impl("rbg")
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    batched = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5, (64,)))(ks)
+    solo = jnp.stack(
+        [jax.random.bernoulli(ks[i], 0.5, (64,)) for i in range(3)]
+    )
+    assert bool(jnp.all(batched[0] == solo[0]))  # row 0 matches by luck
+    assert not bool(jnp.all(batched[1:] == solo[1:]))  # rows >= 1 do not
+
+    # threefry: exact under vmap — what fold isolation relies on
+    configure_prng_impl("threefry2x32")
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    batched = jax.vmap(lambda k: jax.random.bernoulli(k, 0.5, (64,)))(ks)
+    solo = jnp.stack(
+        [jax.random.bernoulli(ks[i], 0.5, (64,)) for i in range(3)]
+    )
+    assert bool(jnp.all(batched == solo))
+
+
+def test_fold_scan_rng_is_threefry_even_under_rbg_default():
+    """FoldParallelTrainer's scan rng must stay threefry-typed (exact under
+    the fold vmap) even when the trainer configures the rbg default."""
+    from transformer_clip_eeg_tpu.train.fold_parallel import fold_scan_rng
+
+    configure_prng_impl("rbg")
+    k = fold_scan_rng(7)
+    assert "threefry" in str(jax.random.key_impl(k))
+    # derived keys keep the impl: bits generated inside a fold vmap with
+    # per-fold fold_in'd steps are position-invariant
+    def draw(step):
+        kk = jax.random.fold_in(k, step)
+        return jax.random.bernoulli(kk, 0.5, (32,))
+
+    batched = jax.vmap(draw)(jnp.arange(3))
+    solo = jnp.stack([draw(i) for i in range(3)])
+    assert bool(jnp.all(batched == solo))
+
+
 def test_train_step_runs_under_rbg():
     """A real (tiny) flagship train step under rbg: finite losses, params
     move, and two steps draw different dropout masks (loss differs on

@@ -209,7 +209,15 @@ class TransformerEncoderBlock(nn.Module):
                 self.make_rng("dropout"), (), 0, 2 ** 31 - 1
             ).astype(jnp.float32)
         else:
-            seed = jnp.zeros((), jnp.float32)
+            # the seed is unused when not training, but it must CARRY THE
+            # VMAP AXIS under fold-parallel eval: jax's pallas batching
+            # rule only folds a vmap axis into the kernel grid when every
+            # operand is batched — with a constant seed the fold-stacked
+            # [F, E] params take a Squeezed block path that Mosaic rejects
+            # ("last two dimensions ... divisible by 8 and 128"), observed
+            # on TPU under make_fold_eval_scan_step.  Tying the zero to x
+            # makes vmap batch the seed operand too.
+            seed = x.reshape(-1)[0] * jnp.zeros((), jnp.float32)
         interpret = jax.default_backend() != "tpu"
         # bf16 activations (--compute_dtype bfloat16) select MXU-native
         # bf16 matmul operands inside the kernel (f32 accumulation); f32

@@ -252,6 +252,30 @@ def _story_of_chunk_key(key: str) -> str:
     return key.rsplit("_batch_", 1)[0]
 
 
+def fold_scan_rng(seed: int) -> Array:
+    """Dropout/augment rng for the fold-vmapped steps — ALWAYS threefry-typed.
+
+    The fold scan steps ``vmap`` the train step over folds with per-fold
+    keys: the step folds each fold's own ``state.step`` into the key, and
+    fold step counters desync as folds skip chunks outside their train
+    split.  threefry's batching rule is exact — a vmapped draw equals the
+    same key's unbatched draw — so each fold's stream is independent of how
+    many folds train alongside it and of its position in the stack.  The
+    'rbg' impl (``TrainConfig.prng_impl``, the sequential Trainer's default
+    for its +16–20% step throughput) does NOT have that property: under
+    ``vmap``, XLA's ``RngBitGenerator`` gives rows ≥ 1 different bits than
+    the same key draws unbatched (pinned by
+    ``tests/test_prng_impl.py::test_rbg_bits_under_vmap_are_position_dependent``),
+    which would make a fold's numerics depend on which other folds share the
+    program — breaking the fold-isolation guarantee
+    (``tests/test_fold_parallel.py::test_fold_parallel_isolates_folds``).
+    The typed key carries its impl with it, overriding the global default
+    the trainer configures, so only bit *generation inside the fold vmap*
+    is pinned; param init and the sequential Trainer keep ``cfg.prng_impl``.
+    """
+    return jax.random.key(seed, impl="threefry2x32")
+
+
 class FoldParallelTrainer:
     """Train several CV folds concurrently on one chip — or, with ``mesh``,
     shard the fold axis over the 'data' mesh axis so a multi-chip host
@@ -532,7 +556,7 @@ class FoldParallelTrainer:
     def fit(self) -> Dict[str, object]:
         cfg = self.cfg
         F = len(self.folds)
-        rng_key = jax.random.PRNGKey(cfg.seed + 1)
+        rng_key = fold_scan_rng(cfg.seed + 1)
         # resumed folds start from their recorded best val CE; best_epoch
         # stays 0 so patience counts from the resume point
         best_loss = self.resume_best_loss.copy()

@@ -33,7 +33,10 @@ from transformer_clip_eeg_tpu.models.registry import (
     load_eeg_encoder,
     load_speech_encoder,
 )
-from transformer_clip_eeg_tpu.train.fold_parallel import make_fold_scan_step
+from transformer_clip_eeg_tpu.train.fold_parallel import (
+    fold_scan_rng,
+    make_fold_scan_step,
+)
 from transformer_clip_eeg_tpu.train.state import (
     init_train_state,
     make_optimizer,
@@ -103,7 +106,13 @@ def main() -> int:
         np.asarray(ids_c[:BS]),
     )
     state0 = init_train_state(model, jax.random.PRNGKey(0), example, tx)
-    rng_key = jax.random.PRNGKey(7)
+    # the trainer's actual scan key: threefry-typed regardless of the
+    # ambient prng_impl (fold isolation — see fold_scan_rng).  Measured
+    # head-to-head on the real chip: an rbg-typed key here lifts F=1 by
+    # ~23% (5,383 vs 4,362 pairs/s) but F>=2 is saturation-bound either
+    # way (5,525 vs 5,510) — and F=1 is the sequential trainer's job,
+    # where rbg already is the default.
+    rng_key = fold_scan_rng(7)
 
     results = {}
     for F in args.folds:
@@ -187,8 +196,8 @@ if __name__ == "__main__":
 
     ensure_scoped_vmem_budget()
     honor_jax_platforms_env()
-    # measure under the training default (TrainConfig.prng_impl): rbg
-    # dropout streams, matching what FoldParallelTrainer configures;
-    # JAX_DEFAULT_PRNG_IMPL env still wins
+    # ambient impl matches FoldParallelTrainer (configure_prng_impl(
+    # cfg.prng_impl), rbg default) — covers param init; the scan key
+    # itself is threefry-typed via fold_scan_rng, exactly as in fit()
     configure_prng_impl("rbg")
     raise SystemExit(main())

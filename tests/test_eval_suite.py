@@ -254,6 +254,34 @@ def test_cli_end_to_end(tmp_path):
     )
 
 
+def test_cli_fails_fast_on_empty_fold(tmp_path):
+    """A --run whose CV fold matches no stories must fail at discovery time
+    with the real cause named, not surface later as a misleading
+    'no stimulus features' error from the empty val dataset (the reference
+    dies on this too, as a ZeroDivision in its val-loss average)."""
+    root = str(tmp_path / "data")
+    # the tiny fixture populates folds 0-2 only, so fold 4 is empty
+    make_fixture(root, n_stories=3, n_subjects=2, story_seconds=45,
+                 speech_dim=8)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from transformer_clip_eeg_tpu.cli import main;"
+        "import sys; sys.exit(main(["
+        "'--data_dir', r'%s', '--results_folder', r'%s',"
+        "'--run','4','--epochs','1','--batch_size','4']))"
+    ) % (root, str(tmp_path / "results"))
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env, capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode != 0
+    assert "matched no stories" in proc.stderr
+    assert "no stimulus features" not in proc.stderr
+
+
 def test_mm_challenge_eval_reference_oracle(tmp_path):
     """Our MM eval vs the actual reference implementation on the same
     fixture and identical (converted) weights: per-subject accuracies and

@@ -212,6 +212,26 @@ def test_arch_encoder_dispatch_smoke(fixture_root, tmp_path, arch, eeg_enc,
     assert np.isfinite(out["best_loss"]), (arch, eeg_enc, speech_enc)
 
 
+@pytest.mark.parametrize("feature", ["mel", "env"])
+def test_stimulus_feature_paths_train(fixture_root, tmp_path, feature):
+    """The reference's alternative stimulus features train end-to-end with
+    their derived dims (mel → 28-dim, env → 1-dim; spatial filters 64/8 —
+    ref train_clip_final.py:291-300).  The fixture writes
+    ``<story>_-_mel.npy`` / ``<story>_-_env.npy`` alongside wav2vec."""
+    cfg = small_config(
+        fixture_root, epochs=1, stimulus_features=feature,
+        speech_dim_override=None,  # use the real mel/env dims
+    )
+    assert cfg.speech_dimension == {"mel": 28, "env": 1}[feature]
+    assert cfg.spatial_filters == {"mel": 64, "env": 8}[feature]
+    train_ds, val_ds = make_datasets(cfg)
+    trainer = Trainer(
+        cfg, train_ds, val_ds, results_dir=str(tmp_path / feature)
+    )
+    out = trainer.fit()
+    assert np.isfinite(out["best_loss"]), feature
+
+
 def test_wav2vec_small_quirk_fails_like_reference(fixture_root, tmp_path):
     """``Wav2vecSmallModel.get_output_dim`` reports ``window * filters`` but
     the strided-valid conv outputs ~window/3 steps (ref clip_model.py:177-201)

@@ -212,6 +212,23 @@ def test_arch_encoder_dispatch_smoke(fixture_root, tmp_path, arch, eeg_enc,
     assert np.isfinite(out["best_loss"]), (arch, eeg_enc, speech_enc)
 
 
+@pytest.mark.parametrize("aug", ["GaussianNoise", "FTSurrogate"])
+def test_trainer_with_augmentation_and_mixup(fixture_root, tmp_path, aug):
+    """On-device augmentation + cross-subject mixup wired through the full
+    fit path (ref dataset_loader.py:113-165,333-356 run these on the host;
+    here they are part of the jitted step).  One epoch, finite loss."""
+    cfg = small_config(
+        fixture_root, epochs=1, data_augmentation=aug, addEEG="yes",
+        data_augmentation_percentage=0.5,
+    )
+    train_ds, val_ds = make_datasets(cfg)
+    trainer = Trainer(
+        cfg, train_ds, val_ds, results_dir=str(tmp_path / aug)
+    )
+    out = trainer.fit()
+    assert np.isfinite(out["best_loss"]), aug
+
+
 @pytest.mark.parametrize("feature", ["mel", "env"])
 def test_stimulus_feature_paths_train(fixture_root, tmp_path, feature):
     """The reference's alternative stimulus features train end-to-end with

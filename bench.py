@@ -36,11 +36,14 @@ def measure_ours(compute_dtype=None) -> float:
     import jax
 
     sys.path.insert(0, REPO)
-    from transformer_clip_eeg_tpu.utils.platform import configure_prng_impl
+    from transformer_clip_eeg_tpu.utils.platform import (
+        DEFAULT_PRNG_IMPL,
+        configure_prng_impl,
+    )
 
-    # the training default (TrainConfig.prng_impl): rbg dropout streams,
-    # +16-20% over threefry2x32 (JAX_DEFAULT_PRNG_IMPL env still wins)
-    configure_prng_impl("rbg")
+    # the training default: rbg dropout streams, +16-20% over
+    # threefry2x32 (JAX_DEFAULT_PRNG_IMPL env still wins)
+    configure_prng_impl(DEFAULT_PRNG_IMPL)
     from __graft_entry__ import _flagship
     from transformer_clip_eeg_tpu.train.state import (
         init_train_state,

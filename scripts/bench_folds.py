@@ -190,6 +190,7 @@ if __name__ == "__main__":
         ensure_scoped_vmem_budget,
     )
     from transformer_clip_eeg_tpu.utils.platform import (
+        DEFAULT_PRNG_IMPL,
         configure_prng_impl,
         honor_jax_platforms_env,
     )
@@ -197,7 +198,7 @@ if __name__ == "__main__":
     ensure_scoped_vmem_budget()
     honor_jax_platforms_env()
     # ambient impl matches FoldParallelTrainer (configure_prng_impl(
-    # cfg.prng_impl), rbg default) — covers param init; the scan key
-    # itself is threefry-typed via fold_scan_rng, exactly as in fit()
-    configure_prng_impl("rbg")
+    # cfg.prng_impl)) — covers param init; the scan key itself is
+    # threefry-typed via fold_scan_rng, exactly as in fit()
+    configure_prng_impl(DEFAULT_PRNG_IMPL)
     raise SystemExit(main())

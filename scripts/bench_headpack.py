@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--tile", type=int, default=0, help="0 = try 8 and 4")
     args = ap.parse_args()
+    tiles = [args.tile] if args.tile else [8, 4]
+    for tb in tiles:
+        if args.batch % tb:
+            ap.error(f"--tile {tb} must divide --batch {args.batch} "
+                     f"(the grid would drop {args.batch % tb} trailing rows)")
 
     import jax
     import jax.numpy as jnp
@@ -130,6 +135,10 @@ def main():
         )
         out_ref[:] = out.astype(out_ref.dtype)
 
+    # off-TPU the kernels only run in interpret mode (same rule as the
+    # production path, ops/attention.py)
+    interpret = jax.default_backend() != "tpu"
+
     def make(kernel, tb):
         x_spec = pl.BlockSpec((tb, t, e), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -143,6 +152,7 @@ def main():
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
+            interpret=interpret,
         )
         return lambda xx: pcall(xx, *params)
 
@@ -170,7 +180,6 @@ def main():
 
         return run
 
-    tiles = [args.tile] if args.tile else [8, 4]
     cases = [("noop_scale", lambda xx: xx * 1.0001, None)]
     for tb in tiles:
         cases.append((f"loop_tb{tb}", make(fwd_kernel_loop, tb), None))
@@ -186,11 +195,17 @@ def main():
             print(json.dumps({"algo": name, "error": f"{type(ex).__name__}: "
                               f"{str(ex)[:200]}"}), flush=True)
 
-    # parity
-    ref = np.asarray(make(fwd_kernel_loop, tiles[0])(x))
-    got = np.asarray(make(fwd_kernel_packed, tiles[0])(x))
-    err = float(np.abs(got - ref).max())
-    print(json.dumps({"max_err_packed_vs_loop": err}), flush=True)
+    # parity — recorded like the timing failures, not a crash (the whole
+    # point of the script is the record)
+    try:
+        ref = np.asarray(make(fwd_kernel_loop, tiles[0])(x))
+        got = np.asarray(make(fwd_kernel_packed, tiles[0])(x))
+        err = float(np.abs(got - ref).max())
+        print(json.dumps({"max_err_packed_vs_loop": err}), flush=True)
+    except Exception as ex:  # noqa: BLE001
+        print(json.dumps({"max_err_packed_vs_loop": None,
+                          "error": f"{type(ex).__name__}: {str(ex)[:200]}"}),
+              flush=True)
 
 
 if __name__ == "__main__":

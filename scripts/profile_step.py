@@ -248,12 +248,12 @@ def main():
 
 if __name__ == "__main__":
     from transformer_clip_eeg_tpu.utils.platform import (
+        DEFAULT_PRNG_IMPL,
         configure_prng_impl,
         honor_jax_platforms_env,
     )
 
     honor_jax_platforms_env()
-    # measure under the training default (TrainConfig.prng_impl): rbg
-    # dropout streams; JAX_DEFAULT_PRNG_IMPL env still wins
-    configure_prng_impl("rbg")
+    # measure under the training default (JAX_DEFAULT_PRNG_IMPL env wins)
+    configure_prng_impl(DEFAULT_PRNG_IMPL)
     main()

@@ -16,9 +16,31 @@ import pytest
 
 from transformer_clip_eeg_tpu.train.config import TrainConfig
 from transformer_clip_eeg_tpu.utils.platform import (
+    DEFAULT_PRNG_IMPL,
     PRNG_IMPLS,
     configure_prng_impl,
 )
+
+
+def test_default_prng_impl_is_shared():
+    """The bench/profile entry points configure DEFAULT_PRNG_IMPL so they
+    measure what training runs; this pins it to TrainConfig's default."""
+    assert TrainConfig().prng_impl == DEFAULT_PRNG_IMPL
+
+
+def test_explicit_impl_losing_to_env_warns(monkeypatch, capsys):
+    """JAX_DEFAULT_PRNG_IMPL wins over configure_prng_impl (standard jax
+    behavior), but an explicit NON-default request that loses to it must
+    say so — `--prng_impl threefry2x32` is the documented
+    bit-reproducibility escape hatch and may not fail silently."""
+    monkeypatch.setenv("JAX_DEFAULT_PRNG_IMPL", "rbg")
+    before = jax.config.jax_default_prng_impl
+    configure_prng_impl("threefry2x32")
+    assert jax.config.jax_default_prng_impl == before  # env won
+    assert "overrides requested" in capsys.readouterr().out
+    # the default request losing to the env is routine — no warning
+    configure_prng_impl(DEFAULT_PRNG_IMPL)
+    assert "overrides requested" not in capsys.readouterr().out
 
 
 def test_config_field_default_and_roundtrip(tmp_path):
@@ -78,8 +100,10 @@ def test_rbg_bits_under_vmap_are_position_dependent():
     solo = jnp.stack(
         [jax.random.bernoulli(ks[i], 0.5, (64,)) for i in range(3)]
     )
-    assert bool(jnp.all(batched[0] == solo[0]))  # row 0 matches by luck
-    assert not bool(jnp.all(batched[1:] == solo[1:]))  # rows >= 1 do not
+    # the load-bearing hazard: SOME row's batched bits differ from its
+    # unbatched draw (today rows >= 1; which rows is an XLA detail this
+    # test deliberately does not pin)
+    assert not bool(jnp.all(batched == solo))
 
     # threefry: exact under vmap — what fold isolation relies on
     configure_prng_impl("threefry2x32")
@@ -147,12 +171,17 @@ def test_train_step_runs_under_rbg():
     state2, l2 = step(state1, batch, key, warmup=False)
     assert np.isfinite(float(l1["loss_ce"]))
     assert np.isfinite(float(l2["loss_ce"]))
-    # the step folds the state's step counter into the key, so the second
-    # step's dropout masks (and loss) differ even with identical inputs
-    assert float(l1["loss_ce"]) != float(l2["loss_ce"])
     p0 = jax.tree_util.tree_leaves(state.params)[0]
     p1 = jax.tree_util.tree_leaves(state1.params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # per-step mask divergence, isolated from the param update: identical
+    # params and inputs, only the folded-in step counter differs (the step
+    # does fold_in(rng, state.step) — train/steps.py) → different dropout
+    # masks → different loss
+    state_b = state.replace(step=state.step + 1)
+    _, la = step(state, batch, key, warmup=False)
+    _, lb = step(state_b, batch, key, warmup=False)
+    assert float(la["loss_ce"]) != float(lb["loss_ce"])
 
 
 def test_trainer_configures_impl_from_config(tmp_path):

@@ -209,13 +209,20 @@ def main(argv=None) -> int:
         # error from the empty dataset misleads (it suggests a feature-name
         # mismatch).  The reference crashes on this too (ZeroDivision in
         # its val-loss average) — just later and less legibly.
-        for name, files in (("train", train_files), ("validation", val_files)):
-            if not files:
-                raise SystemExit(
-                    f"{name} split is empty: CV fold {cfg.run} matched no "
-                    f"stories under {cfg.data_dir} (check --run against "
-                    f"{cfg.fold_split_path})"
-                )
+        if not val_files:
+            raise SystemExit(
+                f"validation split is empty: CV fold {cfg.run} matched no "
+                f"stories under {cfg.data_dir} (check --run against "
+                f"{cfg.fold_split_path})"
+            )
+        if not train_files:
+            # the opposite failure: the chosen fold matched every story,
+            # leaving nothing to train on
+            raise SystemExit(
+                f"train split is empty: every story under {cfg.data_dir} "
+                f"fell into CV fold {cfg.run} or the test set (check "
+                f"--run against {cfg.fold_split_path})"
+            )
 
     train_ds = EEGWindowDataset(
         train_files,

@@ -109,7 +109,10 @@ class TrainConfig:
     # critical path, PERF.md).  'threefry2x32' = jax's default, for
     # bit-reproducing runs recorded before this field existed.  Sampling
     # streams differ between impls (loss trajectories are statistically
-    # equivalent, not bit-equal).
+    # equivalent, not bit-equal).  Default shared with the bench/profile
+    # entry points via utils.platform.DEFAULT_PRNG_IMPL (kept a literal
+    # here so the dataclass stays import-light; the coupling is pinned by
+    # tests/test_prng_impl.py::test_default_prng_impl_is_shared).
     prng_impl: str = "rbg"
 
     # -- derived ------------------------------------------------------------

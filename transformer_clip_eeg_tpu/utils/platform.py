@@ -30,6 +30,11 @@ def honor_jax_platforms_env() -> None:
 
 PRNG_IMPLS = ("rbg", "threefry2x32", "unsafe_rbg")
 
+# the production training default (TrainConfig.prng_impl mirrors this —
+# pinned by tests/test_prng_impl.py::test_default_prng_impl_is_shared);
+# bench/profile entry points use it so they measure what training runs
+DEFAULT_PRNG_IMPL = "rbg"
+
 
 def configure_prng_impl(impl: str) -> None:
     """Set jax's default PRNG implementation (``jax_default_prng_impl``).
@@ -53,7 +58,18 @@ def configure_prng_impl(impl: str) -> None:
         raise ValueError(
             f"unknown prng_impl {impl!r}; expected one of {PRNG_IMPLS}"
         )
-    if os.environ.get("JAX_DEFAULT_PRNG_IMPL"):
+    env = os.environ.get("JAX_DEFAULT_PRNG_IMPL")
+    if env:
+        # env wins (standard jax behavior) — but say so when it overrides
+        # an explicit non-default request, otherwise `--prng_impl
+        # threefry2x32` (the documented bit-reproducibility escape hatch)
+        # would lose silently and the run's streams would not be what the
+        # user asked for
+        if env != impl and impl != DEFAULT_PRNG_IMPL:
+            print(
+                f"warning: JAX_DEFAULT_PRNG_IMPL={env} overrides requested "
+                f"prng_impl={impl}; unset the env var to honor the flag"
+            )
         return
     import jax
 

@@ -1,0 +1,119 @@
+"""Persistent XLA compilation cache (``utils.platform.enable_compile_cache``).
+
+The reference recompiles nothing (torch eager); here every process start
+pays jit compilation (~20-40 s for the fused train step on TPU), so the
+framework exposes jax's persistent compilation cache through
+``TrainConfig.compile_cache_dir`` / ``--compile_cache_dir`` on the train,
+cv, serve, and server CLIs.  These tests pin: population of the cache dir,
+the env-var-wins contract, and the Trainer wiring.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from transformer_clip_eeg_tpu.utils.platform import enable_compile_cache
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    from transformer_clip_eeg_tpu.data.fixtures import make_fixture
+
+    root = str(tmp_path_factory.mktemp("sparrkulee"))
+    make_fixture(root, n_stories=3, n_subjects=3, story_seconds=60,
+                 speech_dim=16)
+    return root
+
+
+@pytest.fixture
+def _restore_cache_config():
+    """Snapshot + restore the global cache config so no test (or the suite
+    order) can leak a cache dir into later tests."""
+    before_dir = jax.config.jax_compilation_cache_dir
+    before_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    yield
+    jax.config.update("jax_compilation_cache_dir", before_dir)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", before_min
+    )
+
+
+def test_enable_populates_cache_dir(tmp_path, _restore_cache_config,
+                                    monkeypatch):
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    cache = str(tmp_path / "xla_cache")
+    # min_compile_time 0 so the toy program below qualifies for persistence
+    enable_compile_cache(cache, min_compile_time_secs=0.0)
+    assert jax.config.jax_compilation_cache_dir == cache
+    assert os.path.isdir(cache)
+
+    @jax.jit
+    def f(x):
+        return (x @ x.T).sum()
+
+    assert float(f(jnp.ones((32, 32)))) == pytest.approx(32.0 * 32 * 32)
+    entries = os.listdir(cache)
+    assert entries, "compiled executable was not persisted to the cache dir"
+
+    # a fresh trace of the same program must still compute correctly when
+    # the persistent cache serves the executable (in-memory jit cache
+    # cleared so the lookup actually happens)
+    jax.clear_caches()
+
+    @jax.jit
+    def g(x):
+        return (x @ x.T).sum()
+
+    assert float(g(2 * jnp.ones((32, 32)))) == pytest.approx(4 * 32.0**3)
+
+
+def test_empty_dir_is_noop(_restore_cache_config):
+    before = jax.config.jax_compilation_cache_dir
+    enable_compile_cache("")
+    assert jax.config.jax_compilation_cache_dir == before
+
+
+def test_env_var_wins_and_warns(tmp_path, _restore_cache_config,
+                                monkeypatch, capsys):
+    """JAX_COMPILATION_CACHE_DIR beats the flag (jax consumed it at import
+    as the config default) — same contract as JAX_DEFAULT_PRNG_IMPL vs
+    --prng_impl; the override is announced, not silent."""
+    env_dir = str(tmp_path / "from_env")
+    flag_dir = str(tmp_path / "from_flag")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", env_dir)
+    before = jax.config.jax_compilation_cache_dir
+    enable_compile_cache(flag_dir)
+    assert jax.config.jax_compilation_cache_dir == before  # untouched
+    assert "overrides" in capsys.readouterr().out
+    # same dir both ways: no conflict, no warning
+    enable_compile_cache(env_dir)
+    assert "overrides" not in capsys.readouterr().out
+
+
+def test_trainer_applies_compile_cache_dir(fixture_root, tmp_path,
+                                           _restore_cache_config,
+                                           monkeypatch):
+    """Trainer construction points the global cache at the configured dir
+    before its first jit (train/loop.py) — end-to-end through TrainConfig."""
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    from tests.test_train_loop import make_datasets, small_config
+
+    cache = str(tmp_path / "run_cache")
+    cfg = small_config(fixture_root, epochs=1,
+                       compile_cache_dir=cache)
+    train_ds, val_ds = make_datasets(cfg)
+    from transformer_clip_eeg_tpu.train.loop import Trainer
+
+    trainer = Trainer(cfg, train_ds, val_ds,
+                      results_dir=str(tmp_path / "results"))
+    assert jax.config.jax_compilation_cache_dir == cache
+    trainer.fit()
+    # args.txt round-trips the field so --only_evaluate / serving reload it
+    from transformer_clip_eeg_tpu.train.config import TrainConfig
+
+    loaded = TrainConfig.load(
+        os.path.join(str(tmp_path / "results"), "args.txt")
+    )
+    assert loaded.compile_cache_dir == cache

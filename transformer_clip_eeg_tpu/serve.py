@@ -356,7 +356,15 @@ def main(argv=None) -> int:
                     help="shard each chunk over N data-parallel devices "
                          "(0 = single device)")
     ap.add_argument("--out", required=True)
+    ap.add_argument("--compile_cache_dir", type=str, default="",
+                    help="persistent XLA compilation cache — repeat "
+                         "invocations deserialize the embedder programs "
+                         "instead of recompiling")
     args = ap.parse_args(argv)
+
+    from transformer_clip_eeg_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache(args.compile_cache_dir)
 
     # retrieval needs the full (--eeg, --candidates, --topk) triple —
     # reject partial combinations instead of silently embedding

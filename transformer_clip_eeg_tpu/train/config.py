@@ -114,6 +114,12 @@ class TrainConfig:
     # here so the dataclass stays import-light; the coupling is pinned by
     # tests/test_prng_impl.py::test_default_prng_impl_is_shared).
     prng_impl: str = "rbg"
+    # persistent XLA compilation cache directory ("" = off).  First compile
+    # of the fused train step is ~20-40 s on TPU; with a cache dir every
+    # later process (CLI restart, --only_evaluate, serving) deserializes
+    # the executable instead of recompiling.  Safe to share between runs —
+    # entries are keyed by program + device fingerprint.
+    compile_cache_dir: str = ""
 
     # -- derived ------------------------------------------------------------
 

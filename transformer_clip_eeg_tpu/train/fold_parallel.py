@@ -309,9 +309,11 @@ class FoldParallelTrainer:
         ensure_scoped_vmem_budget()
         from transformer_clip_eeg_tpu.utils.platform import (
             configure_prng_impl,
+            enable_compile_cache,
         )
 
         configure_prng_impl(cfg.prng_impl)  # before any PRNGKey below
+        enable_compile_cache(cfg.compile_cache_dir)  # before the first jit
         self.cfg = cfg
         self.folds = list(folds)
         F = len(self.folds)

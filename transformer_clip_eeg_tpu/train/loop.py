@@ -148,10 +148,13 @@ class Trainer:
         self.cfg = config
         from transformer_clip_eeg_tpu.utils.platform import (
             configure_prng_impl,
+            enable_compile_cache,
         )
 
         # before any PRNGKey below (init, train rng) so they pick it up
         configure_prng_impl(config.prng_impl)
+        # before the first jit so the step programs hit/populate the cache
+        enable_compile_cache(config.compile_cache_dir)
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
         self.mesh = mesh

@@ -74,3 +74,44 @@ def configure_prng_impl(impl: str) -> None:
     import jax
 
     jax.config.update("jax_default_prng_impl", impl)
+
+
+def enable_compile_cache(
+    cache_dir: str, min_compile_time_secs: float = 1.0
+) -> None:
+    """Point jax's persistent compilation cache at ``cache_dir``.
+
+    First compilation of the fused train step costs ~20–40 s on TPU; every
+    CLI restart, serving-process start, and ``--only_evaluate`` reload pays
+    it again because jit caches are in-memory only.  With a cache dir set,
+    XLA executables are serialized to disk and later processes deserialize
+    instead of recompiling — same program, same devices → cache hit.
+
+    ``min_compile_time_secs`` skips persisting programs cheaper than the
+    threshold (jax's default 1.0 s keeps tiny helper jits out of the
+    cache); tests pass 0.0 to exercise the path with toy programs.
+
+    A ``JAX_COMPILATION_CACHE_DIR`` environment variable wins over the
+    argument (standard jax behavior, same contract as
+    :func:`configure_prng_impl`): jax already consumed it as the config
+    default at import, so we leave it alone and warn about the conflict.
+    No-op when ``cache_dir`` is empty.
+    """
+    if not cache_dir:
+        return
+    env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env:
+        if os.path.abspath(env) != os.path.abspath(cache_dir):
+            print(
+                f"warning: JAX_COMPILATION_CACHE_DIR={env} overrides "
+                f"requested compile_cache_dir={cache_dir}; unset the env "
+                "var to honor the flag"
+            )
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_time_secs
+    )

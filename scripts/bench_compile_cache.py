@@ -82,7 +82,6 @@ def child(args) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=1)  # symmetry w/ siblings
     ap.add_argument("--window", type=int, default=192)
     ap.add_argument("--speech_dim", type=int, default=1024)
     ap.add_argument("--depth", type=int, default=10)
@@ -116,13 +115,19 @@ def main() -> int:
     assert abs(runs["cold"]["loss_ce"] - runs["warm"]["loss_ce"]) < 1e-5, (
         "cached executable computed a different loss"
     )
-    cold = runs["cold"]["init_plus_step_s"]
-    warm = runs["warm"]["init_plus_step_s"]
+    # first_step_s isolates the compile (what the cache actually saves);
+    # startup_s additionally includes host-side model/optimizer init and
+    # device_put, which the cache cannot help — reported separately so the
+    # headline speedup isn't diluted (ADVICE r2)
+    cold = runs["cold"]["first_step_s"]
+    warm = runs["warm"]["first_step_s"]
     print(json.dumps({
-        "metric": "startup_to_first_step",
+        "metric": "first_train_step",
         "cold_s": cold,
         "warm_s": warm,
         "speedup": round(cold / warm, 2),
+        "startup_cold_s": runs["cold"]["init_plus_step_s"],
+        "startup_warm_s": runs["warm"]["init_plus_step_s"],
         "cache_entries": len(os.listdir(cache)),
     }))
     return 0

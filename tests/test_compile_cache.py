@@ -92,6 +92,72 @@ def test_env_var_wins_and_warns(tmp_path, _restore_cache_config,
     assert "overrides" not in capsys.readouterr().out
 
 
+def test_min_compile_time_env_wins(tmp_path, _restore_cache_config,
+                                   monkeypatch):
+    """A user-set JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS must not be
+    clobbered by enable_compile_cache's default argument (env-wins, same
+    contract as the cache dir itself — ADVICE r2)."""
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    monkeypatch.setenv("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "7.5")
+    # jax consumed the env var at import in a real process; simulate that
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 7.5)
+    enable_compile_cache(str(tmp_path / "c1"))
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 7.5
+    # without the env var the argument applies as before
+    monkeypatch.delenv("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS")
+    enable_compile_cache(str(tmp_path / "c2"), min_compile_time_secs=2.0)
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 2.0
+
+
+def test_serving_session_applies_saved_cache_dir(tmp_path,
+                                                 _restore_cache_config,
+                                                 monkeypatch):
+    """InferenceSession.from_results_dir falls back to the run's persisted
+    compile_cache_dir (args.txt) so serving restarts ride the cache without
+    re-passing the flag; an already-configured cache wins (ADVICE r2)."""
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    from transformer_clip_eeg_tpu.serve import (
+        InferenceSession,
+        build_model_from_config,
+    )
+    from transformer_clip_eeg_tpu.train.checkpoint import save_checkpoint
+    from transformer_clip_eeg_tpu.train.config import TrainConfig
+    from transformer_clip_eeg_tpu.train.state import (
+        init_train_state,
+        make_optimizer,
+    )
+    import numpy as np
+
+    saved_cache = str(tmp_path / "saved_cache")
+    root = str(tmp_path / "run")
+    os.makedirs(os.path.join(root, "checkpoints"), exist_ok=True)
+    T, SP_D = 32, 8
+    cfg = TrainConfig(window_length_s=1, fs=T, attention_depth=1,
+                      latent_dim=4, lstm_units=8, speech_dim_override=SP_D,
+                      batch_size=4, compile_cache_dir=saved_cache)
+    cfg.save(os.path.join(root, "args.txt"))
+    model = build_model_from_config(cfg, bank_size=16)
+    rng = np.random.default_rng(0)
+    state = init_train_state(
+        model, jax.random.PRNGKey(0),
+        (rng.standard_normal((2, T, 64)).astype(np.float32),
+         rng.standard_normal((2, T, SP_D)).astype(np.float32),
+         np.arange(1, 3, dtype=np.int32)),
+        make_optimizer("adamw", 1e-3),
+    )
+    save_checkpoint(os.path.join(root, "checkpoints"), state)
+
+    jax.config.update("jax_compilation_cache_dir", None)
+    InferenceSession.from_results_dir(root, chunk=4)
+    assert jax.config.jax_compilation_cache_dir == saved_cache
+
+    # a cache configured before the load (serve CLI flag / env) wins
+    other = str(tmp_path / "flag_cache")
+    jax.config.update("jax_compilation_cache_dir", other)
+    InferenceSession.from_results_dir(root, chunk=4)
+    assert jax.config.jax_compilation_cache_dir == other
+
+
 def test_trainer_applies_compile_cache_dir(fixture_root, tmp_path,
                                            _restore_cache_config,
                                            monkeypatch):

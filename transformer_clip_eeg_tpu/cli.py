@@ -181,6 +181,12 @@ def main(argv=None) -> int:
         # (ref :274-285)
         cfg = TrainConfig.load(os.path.join(args.results_folder, "args.txt"))
         results_dir = args.results_folder
+        # the eval reload runs in a fresh process and benefits from the
+        # persistent compile cache just like a restart — honor a cache dir
+        # passed on THIS command line even when the original run saved none
+        # (an explicit flag beats the persisted value; ADVICE r2)
+        if args.compile_cache_dir:
+            cfg.compile_cache_dir = args.compile_cache_dir
     else:
         known = {f.name for f in dataclasses.fields(TrainConfig)}
         cfg = TrainConfig(

@@ -145,6 +145,20 @@ class InferenceSession:
         from transformer_clip_eeg_tpu.train.config import TrainConfig
 
         cfg = TrainConfig.load(os.path.join(results_dir, "args.txt"))
+        # the run's persisted compile_cache_dir round-trips into serving:
+        # a serving process restarted against the same results dir
+        # deserializes the embedder executables instead of recompiling.
+        # An already-configured cache (the serve/server CLI flag, applied
+        # before this call, or an env var) wins over the saved value.
+        if getattr(cfg, "compile_cache_dir", ""):
+            import jax
+
+            from transformer_clip_eeg_tpu.utils.platform import (
+                enable_compile_cache,
+            )
+
+            if not jax.config.jax_compilation_cache_dir:
+                enable_compile_cache(cfg.compile_cache_dir)
         ckpt_path = os.path.join(results_dir, "checkpoints", CKPT_NAME)
         if not os.path.exists(ckpt_path):
             raise FileNotFoundError(f"no checkpoint at {ckpt_path}")

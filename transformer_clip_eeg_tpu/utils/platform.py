@@ -112,6 +112,11 @@ def enable_compile_cache(
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update(
-        "jax_persistent_cache_min_compile_time_secs", min_compile_time_secs
-    )
+    # same env-wins contract as the cache dir: a user-set
+    # JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS already seeded the config
+    # default at import — don't clobber it with our default argument
+    if not os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"):
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            min_compile_time_secs,
+        )

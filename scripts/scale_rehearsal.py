@@ -1,0 +1,314 @@
+"""SparrKULee-scale dress rehearsal (VERDICT r2 next #1).
+
+Generates a realistic-scale synthetic dataset (the real corpus shape: tens
+of stories x ~10 min @64 Hz, ~85 train + 14 test subjects, 1024-dim
+wav2vec features, each subject recording a subset of stories — ref
+``dataset_loader.py:70-110`` eager ingest, ``helper:383-440`` splits) and
+exercises every scale-sensitive path against it:
+
+  gen     build the dataset on disk (idempotent; marker file)
+  ingest  host-RAM high-water + wall-clock of the eager dataset ingest,
+          for a single fold's train split AND the fold-parallel union
+  train   full CLI train (+ optional eval suite) on the current backend;
+          reads per-epoch wall-clock from loss.txt
+  cv      fold-parallel CV training over the union dataset
+  evict   DeviceChunkStore under a deliberately tiny byte budget: eviction
+          correctness (loss parity with an ample budget) + thrash cost
+          (upload counts, wall-clock)
+
+Each stage runs in its own subprocess so ru_maxrss is per-stage.  Results
+append to ``<out>/scale_results.jsonl``; SCALE.md distills them.
+
+Full rehearsal:    python scripts/scale_rehearsal.py --root /data/scale
+Small smoke (CI):  SCALE_SMOKE=1 python scripts/scale_rehearsal.py --root /tmp/s
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SMOKE = os.environ.get("SCALE_SMOKE", "") == "1"
+if SMOKE:
+    SHAPE = dict(n_stories=4, n_subjects=5, n_test_subjects=2,
+                 story_seconds=90, speech_dim=32, stories_per_subject=3)
+else:
+    # the real SparrKULee shape (~12 GB on disk here)
+    SHAPE = dict(n_stories=15, n_subjects=85, n_test_subjects=14,
+                 story_seconds=600, speech_dim=1024, stories_per_subject=10)
+
+
+def _rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+
+
+def _emit(out_dir: str, record: dict) -> None:
+    record["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    line = json.dumps(record)
+    print(line, flush=True)
+    with open(os.path.join(out_dir, "scale_results.jsonl"), "a") as f:
+        f.write(line + "\n")
+
+
+# ---------------------------------------------------------------------------
+# stages (each runs as `--stage <name>` in a fresh subprocess)
+# ---------------------------------------------------------------------------
+
+
+def stage_gen(args) -> dict:
+    from transformer_clip_eeg_tpu.data.fixtures import make_fixture
+
+    marker = os.path.join(args.root, ".scale_generated.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return {"stage": "gen", "skipped": True, **json.load(f)}
+    t0 = time.time()
+    make_fixture(args.root, **SHAPE)
+    gen_s = time.time() - t0
+    du = subprocess.run(
+        ["du", "-sb", args.root], capture_output=True, text=True
+    )
+    disk_gb = int(du.stdout.split()[0]) / 2**30 if du.returncode == 0 else -1
+    info = {"gen_s": round(gen_s, 1), "disk_gb": round(disk_gb, 2), **SHAPE}
+    with open(marker, "w") as f:
+        json.dump(info, f)
+    return {"stage": "gen", **info}
+
+
+def _discover(root, run, n_subs):
+    from transformer_clip_eeg_tpu.data.discovery import (
+        get_train_val_test_files_final,
+    )
+
+    return get_train_val_test_files_final(
+        root, run, "wav2vec_19", os.path.join(root, "fold_split.json"), n_subs
+    )
+
+
+def stage_ingest(args) -> dict:
+    """Eager host ingest: single-fold train split, then the fold union."""
+    from transformer_clip_eeg_tpu.data.dataset import EEGWindowDataset
+
+    files = _discover(args.root, 0, SHAPE["n_subjects"])
+    out = {"stage": "ingest"}
+    t0 = time.time()
+    ds = EEGWindowDataset(files[0], files[4], 192, 192, batch_size=128)
+    out["fold0_train_ingest_s"] = round(time.time() - t0, 1)
+    out["fold0_train_rss_gb"] = round(_rss_gb(), 2)
+    out["fold0_train_chunks"] = len(ds.batches_keys)
+    out["fold0_train_segments"] = ds.get_number_of_stimuli_segments()
+    chunk_bytes = sum(
+        c["eeg"].nbytes + sum(
+            c[k].nbytes for k in ds.features_to_load if k in c
+        )
+        for c in ds.chunks.values()
+        if "eeg" in c
+    )
+    out["fold0_train_chunk_gb"] = round(chunk_bytes / 2**30, 2)
+    del ds
+
+    # the fold-parallel union holds every story of folds 0-8 at once — the
+    # worst-case resident set (VERDICT r2 weak #1)
+    t0 = time.time()
+    union_f, union_a = files[0] + files[1], files[4] + files[5]
+    union = EEGWindowDataset(union_f, union_a, 192, 192, batch_size=128)
+    out["union_ingest_s"] = round(time.time() - t0, 1)
+    out["union_rss_gb"] = round(_rss_gb(), 2)
+    out["union_chunks"] = len(union.batches_keys)
+    return out
+
+
+def stage_train(args) -> dict:
+    from transformer_clip_eeg_tpu.cli import main as cli_main
+
+    results = os.path.join(args.out, "train_run")
+    t0 = time.time()
+    rc = cli_main([
+        "--data_dir", args.root, "--results_folder", results,
+        "--run", "0", "--epochs", str(args.epochs),
+        "--number_of_training_subjects", str(args.train_subjects),
+        "--skip_eval", "yes" if args.skip_eval else "no",
+        "--patience", "50",
+    ])
+    total_s = time.time() - t0
+    run_dirs = sorted(os.listdir(results)) if os.path.isdir(results) else []
+    out = {
+        "stage": "train", "rc": rc, "total_s": round(total_s, 1),
+        "rss_gb": round(_rss_gb(), 2),
+        "train_subjects": args.train_subjects, "epochs": args.epochs,
+    }
+    if run_dirs:
+        loss_txt = os.path.join(results, run_dirs[-1], "loss.txt")
+        if os.path.exists(loss_txt):
+            with open(loss_txt) as f:
+                epoch_lines = [
+                    ln.strip() for ln in f if ln.startswith("epoch ")
+                ]
+            out["epoch_lines"] = epoch_lines[:12]
+    return out
+
+
+def stage_cv(args) -> dict:
+    from transformer_clip_eeg_tpu.cv import main as cv_main
+
+    results = os.path.join(args.out, "cv_run")
+    t0 = time.time()
+    rc = cv_main([
+        "--folds", "0", "1", "--parallel", "yes",
+        "--results_folder", results,
+        "--data_dir", args.root, "--epochs", str(args.epochs),
+        "--number_of_training_subjects", str(args.train_subjects),
+        "--skip_eval", "yes", "--patience", "50",
+    ])
+    out = {
+        "stage": "cv", "rc": rc, "total_s": round(time.time() - t0, 1),
+        "rss_gb": round(_rss_gb(), 2),
+    }
+    loss_txt = os.path.join(results, "loss.txt")
+    if os.path.exists(loss_txt):
+        with open(loss_txt) as f:
+            out["epoch_lines"] = [
+                ln.strip() for ln in f if ln.startswith("epoch ")
+            ][:12]
+    return out
+
+
+def stage_evict(args) -> dict:
+    """Chunk-store eviction under pressure: a byte budget that holds only
+    ~2 chunks must produce the same training losses as an ample budget
+    (correctness) while paying re-uploads (thrash cost measured)."""
+    import numpy as np
+
+    from transformer_clip_eeg_tpu.data.dataset import EEGWindowDataset
+    from transformer_clip_eeg_tpu.train import device_data as dd
+
+    files = _discover(args.root, 0, min(8, SHAPE["n_subjects"]))
+    ds = EEGWindowDataset(files[0], files[4], 192, 192, batch_size=32,
+                          seed=0)
+
+    uploads = {"n": 0, "bytes": 0}
+    orig_insert = dd.DeviceChunkStore._insert
+
+    def counting_insert(self, key):
+        chunk = self.dataset.chunks[key]
+        uploads["n"] += 1
+        uploads["bytes"] += chunk["eeg"].nbytes
+        return orig_insert(self, key)
+
+    dd.DeviceChunkStore._insert = counting_insert
+    out = {"stage": "evict"}
+    try:
+        runs = {}
+        chunk_sizes = [
+            ds.chunks[k]["eeg"].nbytes
+            + ds.chunks[k][ds.features_to_load[0]].nbytes
+            for k in ds.batches_keys
+        ]
+        tiny = int(2.5 * max(chunk_sizes))
+        for label, kwargs in (
+            ("ample", {}),
+            ("tiny", {"max_resident": None}),
+        ):
+            store = dd.DeviceChunkStore(ds, **kwargs)
+            if label == "tiny":
+                store.budget_bytes = tiny
+                store.max_resident = None
+            uploads["n"] = uploads["bytes"] = 0
+            sums = []
+            t0 = time.time()
+            for epoch in range(2):
+                rng = np.random.default_rng(123)  # same order both runs
+                for (eeg_d, sp_d, ids_d, idx, subs, _p) in store.epoch_batches(
+                    rng=rng, shuffle=True
+                ):
+                    from transformer_clip_eeg_tpu.train.device_data import (
+                        gather_batch,
+                    )
+
+                    batch = gather_batch(eeg_d, sp_d, ids_d, idx, subs)
+                    sums.append(float(batch["eeg"].sum()))
+            runs[label] = {
+                "sums": sums,
+                "uploads": uploads["n"],
+                "upload_gb": round(uploads["bytes"] / 2**30, 2),
+                "walk_s": round(time.time() - t0, 1),
+                "budget_gb": round(
+                    (store.budget_bytes or 0) / 2**30, 3
+                ),
+            }
+        assert runs["ample"]["sums"] == runs["tiny"]["sums"], (
+            "eviction changed gathered batch contents"
+        )
+        out.update(
+            correct=True,
+            ample={k: v for k, v in runs["ample"].items() if k != "sums"},
+            tiny={k: v for k, v in runs["tiny"].items() if k != "sums"},
+            n_chunks=len(ds.batches_keys),
+        )
+    finally:
+        dd.DeviceChunkStore._insert = orig_insert
+    return out
+
+
+STAGES = {
+    "gen": stage_gen,
+    "ingest": stage_ingest,
+    "train": stage_train,
+    "cv": stage_cv,
+    "evict": stage_evict,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", type=str, required=True,
+                    help="dataset root (created if absent)")
+    ap.add_argument("--out", type=str, default="",
+                    help="results dir (default <root>/_scale_out)")
+    ap.add_argument("--stage", type=str, default="",
+                    help="run ONE stage in-process (used by the driver)")
+    ap.add_argument("--stages", type=str, nargs="+",
+                    default=["gen", "ingest", "train", "cv", "evict"])
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--train_subjects", type=int,
+                    default=SHAPE["n_subjects"])
+    ap.add_argument("--skip_eval", action="store_true")
+    args = ap.parse_args()
+    args.out = args.out or os.path.join(args.root, "_scale_out")
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.stage:
+        rec = STAGES[args.stage](args)
+        _emit(args.out, rec)
+        return 0
+
+    for stage in args.stages:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--root", args.root, "--out", args.out, "--stage", stage,
+               "--epochs", str(args.epochs),
+               "--train_subjects", str(args.train_subjects)]
+        if args.skip_eval:
+            cmd.append("--skip_eval")
+        print(f"=== stage {stage} ===", flush=True)
+        rc = subprocess.run(cmd, cwd=REPO).returncode
+        if rc != 0:
+            print(f"stage {stage} FAILED rc={rc}")
+            return rc
+    return 0
+
+
+if __name__ == "__main__":
+    from transformer_clip_eeg_tpu.utils.platform import (
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
+    raise SystemExit(main())

@@ -166,6 +166,68 @@ def test_fold_parallel_isolates_folds(fixture_root, tmp_path):
 
 
 @pytest.mark.slow
+def test_fold_group_chunking_matches_ungrouped(fixture_root, tmp_path):
+    """Fold-group chunking (G < F, the HBM-pressure fallback) must be
+    bit-identical to the all-folds-in-one-dispatch walk: the group loop is
+    contiguous and in fold order, so every rng (per-fold sampling, shared
+    chunk order, mixup partners) draws in exactly the ungrouped order."""
+    cfg = _cfg(fixture_root, epochs=2)
+    union_f, union_a = _union(fixture_root, cfg)
+
+    whole = FoldParallelTrainer(
+        cfg, [0, 1], union_f, union_a, str(tmp_path / "whole")
+    )
+    out_whole = whole.fit()
+    grouped = FoldParallelTrainer(
+        cfg, [0, 1], union_f, union_a, str(tmp_path / "grouped"),
+        fold_group_size=1,
+    )
+    assert grouped.fold_group_size == 1
+    out_grouped = grouped.fit()
+
+    assert out_grouped["best_loss"] == pytest.approx(
+        out_whole["best_loss"], rel=2e-5
+    )
+    for e_w, e_g in zip(out_whole["history"], out_grouped["history"]):
+        np.testing.assert_allclose(
+            e_g["val_loss_ce"], e_w["val_loss_ce"], rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            e_g["train_loss_ce"], e_w["train_loss_ce"], rtol=2e-5, atol=2e-5
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        ),
+        grouped.best_states.params, whole.best_states.params,
+    )
+
+
+def test_fold_group_size_validation(fixture_root, tmp_path):
+    cfg = _cfg(fixture_root, epochs=1)
+    union_f, union_a = _union(fixture_root, cfg)
+    with pytest.raises(ValueError, match="divisor"):
+        FoldParallelTrainer(
+            cfg, [0, 1, 2], union_f, union_a, str(tmp_path / "bad"),
+            fold_group_size=2,
+        )
+    from transformer_clip_eeg_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="mesh"):
+        FoldParallelTrainer(
+            cfg, [0, 1], union_f, union_a, str(tmp_path / "bad2"),
+            mesh=make_mesh(2), fold_group_size=1,
+        )
+    # 'auto' resolves to a valid divisor wherever memory stats exist, and
+    # to F (no grouping) on backends without them — never an error
+    t = FoldParallelTrainer(
+        cfg, [0, 1], union_f, union_a, str(tmp_path / "auto"),
+        fold_group_size="auto",
+    )
+    assert t.fold_group_size in (1, 2)
+
+
+@pytest.mark.slow
 def test_fold_parallel_auto_resume(fixture_root, tmp_path):
     """A new trainer pointed at a previous sweep's results root must restore
     each fold's best checkpoint into its stacked row (ref

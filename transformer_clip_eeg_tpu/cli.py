@@ -320,11 +320,16 @@ def run_eval_suite(
 
     model = trainer.model
     variables = trainer.state.variables
+    # when the run trained on a mesh, the eval suite's embedding extraction
+    # shards over the same mesh (identical outputs, all chips busy during
+    # the probe-extraction-heavy phase)
+    mesh = trainer.mesh
 
     mm_folder = find_icassp_folder(cfg.data_dir, "TEST_task1_matchmismatch")
     if mm_folder:
         ev, ev_logits, ev_topx, ev_topx_logits = evaluate_model_challenge_2023_mm(
-            model, variables, mm_folder, speech_feature=cfg.stimulus_features
+            model, variables, mm_folder, speech_feature=cfg.stimulus_features,
+            mesh=mesh,
         )
         for name, obj in [
             ("evaluation_challenge_set_2023_mm.json", ev),
@@ -343,19 +348,19 @@ def run_eval_suite(
         model, variables, train_files, val_files, test_files,
         train_audio, val_audio, test_audio, results_dir,
         regress_to="env", window_length=cfg.window_length_s, fs=cfg.fs,
-        batch_size=cfg.batch_size,
+        batch_size=cfg.batch_size, mesh=mesh,
     )
     evaluate_model_do_regression_sub_independent(
         model, variables, train_files, val_files, test_files,
         train_audio, val_audio, test_audio, results_dir,
         regress_to="env", window_length=cfg.window_length_s, fs=cfg.fs,
-        batch_size=cfg.batch_size,
+        batch_size=cfg.batch_size, mesh=mesh,
     )
 
     reg_folder = find_icassp_folder(cfg.data_dir, "TEST_task2_regression")
     if reg_folder:
         ev, ev_sub = evaluate_model_challenge_2023_regression(
-            model, variables, results_dir, reg_folder
+            model, variables, results_dir, reg_folder, mesh=mesh
         )
         with open(
             os.path.join(results_dir, "evaluation_challenge_set_2023_regression.json"),

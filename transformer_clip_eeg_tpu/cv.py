@@ -24,7 +24,8 @@ import sys
 from typing import Dict, List
 
 
-def _run_parallel(folds: List[int], results_folder: str, passthrough) -> Dict[int, str]:
+def _run_parallel(folds: List[int], results_folder: str, passthrough,
+                  fold_group_size=None) -> Dict[int, str]:
     """Train all folds concurrently; returns {fold: run_dir}."""
     import dataclasses
     import types
@@ -58,7 +59,8 @@ def _run_parallel(folds: List[int], results_folder: str, passthrough) -> Dict[in
 
         mesh = make_mesh(cfg.n_data_shards)
     trainer = FoldParallelTrainer(
-        cfg, folds, union_f, union_a, results_folder, mesh=mesh
+        cfg, folds, union_f, union_a, results_folder, mesh=mesh,
+        fold_group_size=fold_group_size,
     )
     out = trainer.fit()
     print(
@@ -98,7 +100,19 @@ def main(argv=None) -> int:
     parser.add_argument("--results_folder", type=str, default="results")
     parser.add_argument("--parallel", type=str, default="no",
                         choices=["yes", "no"])
+    parser.add_argument(
+        "--fold_group_size", type=str, default="",
+        help="with --parallel yes: folds per dispatch — an integer divisor "
+             "of the fold count, 'auto' (largest divisor that fits HBM), or "
+             "empty for all folds at once",
+    )
     args, passthrough = parser.parse_known_args(argv)
+    fold_group_size = None
+    if args.fold_group_size:
+        fold_group_size = (
+            "auto" if args.fold_group_size == "auto"
+            else int(args.fold_group_size)
+        )
 
     if args.parallel == "yes":
         from transformer_clip_eeg_tpu.train.fold_parallel import (
@@ -110,7 +124,8 @@ def main(argv=None) -> int:
     fold_dirs: Dict[int, str] = {}
     if args.parallel == "yes":
         fold_dirs = _run_parallel(
-            args.folds, args.results_folder, passthrough
+            args.folds, args.results_folder, passthrough,
+            fold_group_size=fold_group_size,
         )
     else:
         for fold in args.folds:

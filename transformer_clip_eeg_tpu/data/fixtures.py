@@ -42,11 +42,17 @@ def make_fixture(
     seed: int = 0,
     correlated: bool = True,
     n_test_subjects: int = 1,
+    stories_per_subject: Optional[int] = None,
 ) -> Dict:
     """Create the fixture tree under ``root``; returns metadata.
 
     ``speech_dim`` defaults small (32) to keep tests fast, but files are
     named ``wav2vec_19`` so the default stimulus flag works unchanged.
+
+    ``stories_per_subject``: each subject records only a random subset of
+    stories (the real SparrKULee shape — subjects hear ~8-10 of the
+    stimuli, so chunks have ragged subject counts); ``None`` = every
+    subject hears every story (the small-test default).
     """
     rng = np.random.default_rng(seed)
     eeg_dir = os.path.join(root, "derivatives", "preprocessed_eeg")
@@ -71,6 +77,22 @@ def make_fixture(
     with open(os.path.join(root, "fold_split.json"), "w") as f:
         json.dump(split, f)
 
+    # which subjects recorded which story (every subject must keep >=1 story;
+    # every story must keep >=1 subject or its chunk would be empty)
+    story_subjects: Dict[str, List[str]] = {s: [] for s in stories}
+    if stories_per_subject is None or stories_per_subject >= n_stories:
+        for s in stories:
+            story_subjects[s] = list(all_subjects)
+    else:
+        for i, sub in enumerate(all_subjects):
+            # rotate a contiguous window so coverage is balanced
+            picks = [
+                stories[(i + j) % n_stories]
+                for j in range(stories_per_subject)
+            ]
+            for s in picks:
+                story_subjects[s].append(sub)
+
     t = story_seconds * FS
     mix = rng.standard_normal((speech_dim, 64)).astype(np.float32) / np.sqrt(
         speech_dim
@@ -87,7 +109,7 @@ def make_fixture(
             mel = np.tile(mel, (1, int(np.ceil(28 / mel.shape[1]))))[:, :28]
         np.save(os.path.join(stim_dir, f"{story}_-_mel.npy"), mel[None, :, :])
 
-        for sub in all_subjects:
+        for sub in story_subjects[story]:
             sub_dir = os.path.join(eeg_dir, sub)
             os.makedirs(sub_dir, exist_ok=True)
             noise = rng.standard_normal((t, 64)).astype(np.float32)

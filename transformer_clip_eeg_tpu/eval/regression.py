@@ -103,13 +103,21 @@ def extract_subject_embeddings(
     window_length: int,
     regress_to: str = "env",
     batch_size: int = 128,
+    mesh=None,
 ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     """Per subject: frozen EEG embeddings + aligned target feature.
 
-    Returns {subject: (embeddings [N, T, D], target [N, T, 1])}."""
+    Returns {subject: (embeddings [N, T, D], target [N, T, 1])}.
+    ``mesh``: optional device mesh — extraction shards each chunk over the
+    'data' axis (identical outputs; see ``mesh_embed_setup``)."""
+    from transformer_clip_eeg_tpu.eval.match_mismatch import mesh_embed_setup
     from transformer_clip_eeg_tpu.train.steps import make_encode_fn
 
-    encode_eeg = make_encode_fn(model)
+    if mesh is not None:
+        shardings, variables = mesh_embed_setup(variables, mesh)
+        encode_eeg = make_encode_fn(model, in_shardings=shardings)
+    else:
+        encode_eeg = make_encode_fn(model)
     env_files = _env_audio_files(audio_files, regress_to)
     dataset = EEGWindowDataset(
         list(files), env_files, window_length, window_length,
@@ -480,6 +488,7 @@ def evaluate_model_do_regression_sub_specific(
     window_length: int = 3,
     fs: int = 64,
     batch_size: int = 128,
+    mesh=None,
 ) -> Dict[str, float]:
     """Per-subject probes; returns {subject: test negative-Pearson loss}
     and writes ``evaluation_regression.json`` + per-subject probe
@@ -490,15 +499,15 @@ def evaluate_model_do_regression_sub_specific(
 
     train_by_sub = extract_subject_embeddings(
         model, variables, train_files, train_files_audio, wl, regress_to,
-        batch_size,
+        batch_size, mesh=mesh,
     )
     val_by_sub = extract_subject_embeddings(
         model, variables, val_files, val_files_audio, wl, regress_to,
-        batch_size,
+        batch_size, mesh=mesh,
     )
     test_by_sub = extract_subject_embeddings(
         model, variables, test_files, test_files_audio, wl, regress_to,
-        batch_size,
+        batch_size, mesh=mesh,
     )
 
     print(f"number of subjects {len(train_by_sub)}")
@@ -602,6 +611,7 @@ def evaluate_model_do_regression_sub_independent(
     window_length: int = 3,
     fs: int = 64,
     batch_size: int = 128,
+    mesh=None,
 ) -> Dict[str, float]:
     """One global probe over all subjects; per-subject test losses →
     ``evaluation_regression_general_model_env.json`` (ref :767-1103).
@@ -613,15 +623,15 @@ def evaluate_model_do_regression_sub_independent(
 
     train_by_sub = extract_subject_embeddings(
         model, variables, train_files, train_files_audio, wl, regress_to,
-        batch_size,
+        batch_size, mesh=mesh,
     )
     val_by_sub = extract_subject_embeddings(
         model, variables, val_files, val_files_audio, wl, regress_to,
-        batch_size,
+        batch_size, mesh=mesh,
     )
     test_by_sub = extract_subject_embeddings(
         model, variables, test_files, test_files_audio, wl, regress_to,
-        batch_size,
+        batch_size, mesh=mesh,
     )
     if not train_by_sub:
         print("no training data for sub-independent regression")
@@ -715,6 +725,7 @@ def evaluate_model_challenge_2023_regression(
     results_folder: str,
     eeg_folder: str,
     subject: Optional[str] = None,
+    mesh=None,
 ) -> Tuple[Dict, Dict]:
     """ICASSP task-2: probe-predict the envelope per 50%-overlap window,
     reconstruct via Hann overlap-add, Pearson vs ground truth (ref :208-380).
@@ -722,9 +733,14 @@ def evaluate_model_challenge_2023_regression(
     Returns ({subject: mean r (general probe)}, {subject: mean r
     (sub-specific probe, where present)}) and dumps per-subject prediction
     JSONs under ``regression_2023_icassp/``."""
+    from transformer_clip_eeg_tpu.eval.match_mismatch import mesh_embed_setup
     from transformer_clip_eeg_tpu.train.steps import make_encode_fn
 
-    encode_eeg = make_encode_fn(model)
+    if mesh is not None:
+        shardings, variables = mesh_embed_setup(variables, mesh)
+        encode_eeg = make_encode_fn(model, in_shardings=shardings)
+    else:
+        encode_eeg = make_encode_fn(model)
     labels_regression = load_labels_regression_2023(
         os.path.join(eeg_folder, "labels"), subject=subject
     )

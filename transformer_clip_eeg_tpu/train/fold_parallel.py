@@ -294,6 +294,13 @@ class FoldParallelTrainer:
     ``len(folds)`` must divide evenly over the mesh's 'data' axis.
     Per-fold numerics are identical to the unsharded trainer
     (``tests/test_fold_parallel.py``).
+
+    ``fold_group_size`` (single-device only): when all F folds' activations
+    exceed HBM in one dispatch, train contiguous groups of G folds per
+    dispatch instead of failing — ``'auto'`` picks the largest divisor of F
+    that fits (AOT compile + XLA memory analysis).  Chunks upload once per
+    epoch regardless of G, and per-fold numerics are bit-identical to the
+    ungrouped walk for any G.
     """
 
     def __init__(
@@ -305,6 +312,7 @@ class FoldParallelTrainer:
         results_root: str,
         row_bucket: int = 8,
         mesh=None,
+        fold_group_size=None,
     ):
         ensure_scoped_vmem_budget()
         from transformer_clip_eeg_tpu.utils.platform import (
@@ -471,11 +479,123 @@ class FoldParallelTrainer:
         )
         self.eval_scan = make_fold_eval_scan_step(cfg.model_arch, mesh=mesh)
 
+        # fold-group chunking: when all F folds' activations don't fit HBM
+        # at once (the XLA attention path OOMs at F>=4 flagship — PERF.md),
+        # train folds in contiguous groups of G per dispatch instead of
+        # failing.  Group order and the per-fold/shared rng draw order are
+        # identical to the ungrouped walk, so per-fold numerics are
+        # bit-identical for any G (tests/test_fold_parallel.py).
+        self.fold_group_size = self._resolve_fold_group_size(fold_group_size)
+        if self.fold_group_size != F:
+            printf(
+                f"fold-group chunking: {F} folds in groups of "
+                f"{self.fold_group_size} per dispatch",
+                self.loss_file,
+            )
+
         printf(
             f"fold-parallel over folds {self.folds}: "
             f"{count_params(state0.params)} params x {F} folds",
             self.loss_file,
         )
+
+    # -- fold-group sizing ----------------------------------------------------
+
+    def _resolve_fold_group_size(self, requested) -> int:
+        """``None``/0 → all folds in one dispatch; ``'auto'`` → the largest
+        divisor of F whose train-step memory fits the device (measured by
+        AOT-compiling candidates and reading XLA's memory analysis);
+        an int → that size (must divide F)."""
+        F = len(self.folds)
+        if requested in (None, 0):
+            return F
+        if self.mesh is not None:
+            raise ValueError(
+                "fold_group_size cannot combine with a fold-sharded mesh — "
+                "the mesh already divides the fold stack across chips"
+            )
+        if requested == "auto":
+            return self._auto_group_size()
+        g = int(requested)
+        if g < 1 or F % g != 0:
+            raise ValueError(
+                f"fold_group_size {g} must be a positive divisor of the "
+                f"fold count ({F})"
+            )
+        return g
+
+    def _auto_group_size(self) -> int:
+        """Largest divisor of F whose compiled train scan fits free device
+        memory (92% headroom).  Falls back to F wherever memory stats or
+        XLA's memory analysis are unavailable (CPU test meshes)."""
+        F = len(self.folds)
+        try:
+            stats = jax.devices()[0].memory_stats()
+            free = stats["bytes_limit"] - stats["bytes_in_use"]
+        except Exception:
+            return F
+        if not free or free <= 0:
+            return F
+        for g in sorted(
+            (d for d in range(1, F + 1) if F % d == 0), reverse=True
+        ):
+            need = self._train_step_bytes(g)
+            if need is None:
+                return F
+            if need <= free * 0.92:
+                if g < F:
+                    printf(
+                        f"auto fold grouping: G={g} "
+                        f"(step needs {need / 2**30:.2f} GiB of "
+                        f"{free / 2**30:.2f} GiB free)",
+                        self.loss_file,
+                    )
+                return g
+        return 1
+
+    def _train_step_bytes(self, g: int) -> Optional[int]:
+        """Peak memory of one G-fold train dispatch at this dataset's largest
+        chunk shape, via AOT compile + XLA memory analysis (no execution)."""
+        try:
+            cfg = self.cfg
+            sb, wb, rb = (
+                self.store.subs_bucket, self.store.win_bucket, self.row_bucket
+            )
+            ps = pw = 0
+            for c in self.dataset.chunks.values():
+                if "eeg" not in c or self.store.feature not in c:
+                    continue
+                ps = max(ps, -(-c["eeg"].shape[0] // sb) * sb)
+                pw = max(pw, -(-c["eeg"].shape[1] // wb) * wb)
+            if not ps:
+                return None
+            n_pad = -(-ps // rb) * rb
+            wl, bs = cfg.window_length, cfg.batch_size
+            f32 = jnp.float32
+            sds = jax.ShapeDtypeStruct
+            states_g = jax.tree.map(
+                lambda x: sds((g,) + x.shape[1:], x.dtype), self.states
+            )
+            lowered = self.train_scan.lower(
+                states_g,
+                sds((ps, pw, wl, 64), f32),
+                sds((pw, wl, cfg.speech_dimension), f32),
+                sds((pw,), jnp.int32),
+                sds((n_pad, g, bs), jnp.int32),
+                sds((n_pad, g, bs), jnp.int32),
+                sds((n_pad, g, bs), jnp.int32),
+                sds((n_pad, g), jnp.bool_),
+                fold_scan_rng(0),
+                warmup=False,
+            )
+            mem = lowered.compile().memory_analysis()
+            return int(
+                mem.temp_size_in_bytes
+                + mem.argument_size_in_bytes
+                + mem.output_size_in_bytes
+            )
+        except Exception:
+            return None
 
     # -- schedule assembly --------------------------------------------------
 
@@ -532,25 +652,59 @@ class FoldParallelTrainer:
             idx, subs, partner, valid = self._chunk_rows(
                 key, participate, cfg.addEEG_b and train
             )
-            if self.mesh is not None:
-                idx, subs, partner, valid = jax.device_put(
-                    (idx, subs, partner, valid), self._row_sharding
-                )
             eeg_d, speech_d, ids_d, _, _ = self.store.get(key)
-            if train:
-                self.states, losses = self.train_scan(
-                    self.states, eeg_d, speech_d, ids_d, idx, subs, partner,
-                    valid, rng_key, warmup=warmup,
+            G = self.fold_group_size
+            if G == F:
+                if self.mesh is not None:
+                    idx, subs, partner, valid = jax.device_put(
+                        (idx, subs, partner, valid), self._row_sharding
+                    )
+                if train:
+                    self.states, losses = self.train_scan(
+                        self.states, eeg_d, speech_d, ids_d, idx, subs,
+                        partner, valid, rng_key, warmup=warmup,
+                    )
+                else:
+                    self.states, losses = self.eval_scan(
+                        self.states, eeg_d, speech_d, ids_d, idx, subs, valid
+                    )
+                m = np.asarray(valid, np.float32)  # [n_pad, F]
+                for k, v in losses.items():
+                    contrib = (np.asarray(v) * m).sum(axis=0)
+                    sums[k] = sums.get(k, 0.0) + contrib
+                counts += m.sum(axis=0).astype(np.int64)
+                continue
+            # fold-group chunking: one dispatch per contiguous G-fold group
+            # (all groups reuse this chunk while it is resident — one upload
+            # per chunk per epoch regardless of G).  Groups whose folds all
+            # sit out this chunk are skipped outright; a masked run would
+            # preserve their state bit-identically anyway.
+            for lo in range(0, F, G):
+                hi = lo + G
+                if not participate[lo:hi].any():
+                    continue
+                g_states = jax.tree.map(lambda x: x[lo:hi], self.states)
+                if train:
+                    g_states, losses = self.train_scan(
+                        g_states, eeg_d, speech_d, ids_d, idx[:, lo:hi],
+                        subs[:, lo:hi], partner[:, lo:hi], valid[:, lo:hi],
+                        rng_key, warmup=warmup,
+                    )
+                else:
+                    g_states, losses = self.eval_scan(
+                        g_states, eeg_d, speech_d, ids_d, idx[:, lo:hi],
+                        subs[:, lo:hi], valid[:, lo:hi],
+                    )
+                self.states = jax.tree.map(
+                    lambda s, gs, _lo=lo: s.at[_lo : _lo + G].set(gs),
+                    self.states, g_states,
                 )
-            else:
-                self.states, losses = self.eval_scan(
-                    self.states, eeg_d, speech_d, ids_d, idx, subs, valid
-                )
-            m = np.asarray(valid, np.float32)  # [n_pad, F]
-            for k, v in losses.items():
-                contrib = (np.asarray(v) * m).sum(axis=0)
-                sums[k] = sums.get(k, 0.0) + contrib
-            counts += m.sum(axis=0).astype(np.int64)
+                m = np.asarray(valid[:, lo:hi], np.float32)
+                for k, v in losses.items():
+                    contrib = (np.asarray(v) * m).sum(axis=0)
+                    prev = sums.setdefault(k, np.zeros(F, np.float64))
+                    prev[lo:hi] += contrib
+                counts[lo:hi] += m.sum(axis=0).astype(np.int64)
         return sums, counts
 
     # -- driver -------------------------------------------------------------

@@ -390,12 +390,17 @@ def make_chunk_eval_scan_step(
     return jax.jit(scan_eval_step, donate_argnums=(0,) if donate else ())
 
 
-def make_encode_fn(model) -> Callable:
+def make_encode_fn(model, in_shardings=None) -> Callable:
     """Jitted raw EEG-encoder apply (no flatten/normalize) — the regression
     evals consume per-timestep embeddings (ref
-    ``train_clip_helper_functions.py:530,146``)."""
+    ``train_clip_helper_functions.py:530,146``).
 
-    @jax.jit
+    ``in_shardings``: optional ``(variables_sharding, batch_sharding)``
+    forwarded to ``jax.jit`` so the eval suite shards its window batches
+    over a mesh (same contract as :func:`make_embed_fns`)."""
+    jit_kw = {} if in_shardings is None else {"in_shardings": in_shardings}
+
+    @functools.partial(jax.jit, **jit_kw)
     def encode_eeg(variables, eeg):
         return model.apply(variables, eeg, method=model.encode_eeg)
 

@@ -67,6 +67,10 @@ def build_flagship(bank_size: int):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--folds", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--group", type=int, default=0,
+                    help="fold-group chunking: dispatch G folds at a time "
+                         "(FoldParallelTrainer's HBM fallback); 0 = all "
+                         "folds in one dispatch")
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--n_data_shards", type=int, default=0,
                     help="shard the fold axis over an N-device 'data' mesh "
@@ -120,8 +124,12 @@ def main() -> int:
             print(f"F={F}: skipped (does not divide over "
                   f"{args.n_data_shards} shards)")
             continue
+        G = args.group or F  # folds per dispatch (trainer's HBM fallback)
+        if F % G != 0:
+            print(f"F={F}: skipped (group {G} does not divide)")
+            continue
         states = jax.tree.map(
-            lambda x: jnp.broadcast_to(x[None], (F,) + x.shape).copy(), state0
+            lambda x: jnp.broadcast_to(x[None], (G,) + x.shape).copy(), state0
         )
         if fold_sh is not None:
             states = jax.device_put(states, fold_sh)
@@ -132,53 +140,65 @@ def main() -> int:
         def draw():
             idx = np.stack(
                 [
-                    np.stack([rng.choice(N_WIN, BS, False) for _ in range(F)])
+                    np.stack([rng.choice(N_WIN, BS, False) for _ in range(G)])
                     for _ in range(N_ROWS)
                 ]
-            ).astype(np.int32)  # [n, F, bs]
-            subs = rng.integers(0, N_SUBS, (N_ROWS, F, BS)).astype(np.int32)
+            ).astype(np.int32)  # [n, G, bs]
+            subs = rng.integers(0, N_SUBS, (N_ROWS, G, BS)).astype(np.int32)
             if row_sh is not None:
                 idx, subs = jax.device_put((idx, subs), row_sh)
             return idx, subs
 
-        valid = np.ones((N_ROWS, F), bool)
+        valid = np.ones((N_ROWS, G), bool)
         if row_sh is not None:
             valid = jax.device_put(valid, row_sh)
-        # warmup / compile
-        for _ in range(2):
-            idx, subs = draw()
-            states, losses = step(
-                states, eeg_c, sp_c, ids_c, idx, subs, subs, valid,
-                rng_key, warmup=False,
-            )
-        float(jnp.sum(losses["loss_ce"]))  # sync
+        n_groups = F // G
+        # warmup / compile; an OOM at this F is recorded, not fatal — the
+        # trainer's fold-group fallback covers it (--group)
+        try:
+            for _ in range(2):
+                idx, subs = draw()
+                states, losses = step(
+                    states, eeg_c, sp_c, ids_c, idx, subs, subs, valid,
+                    rng_key, warmup=False,
+                )
+            float(jnp.sum(losses["loss_ce"]))  # sync
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).splitlines()[0][:160]
+            print(f"F={F} (G={G}): failed to run — {msg}")
+            results[F] = None
+            continue
 
         t0 = time.time()
         for _ in range(args.iters):
-            idx, subs = draw()
-            states, losses = step(
-                states, eeg_c, sp_c, ids_c, idx, subs, subs, valid,
-                rng_key, warmup=False,
-            )
+            for _g in range(n_groups):
+                idx, subs = draw()
+                states, losses = step(
+                    states, eeg_c, sp_c, ids_c, idx, subs, subs, valid,
+                    rng_key, warmup=False,
+                )
         float(jnp.sum(losses["loss_ce"]))  # sync
         dt = time.time() - t0
         pairs = args.iters * N_ROWS * F * BS
         results[F] = pairs / dt
-        print(f"F={F}: {pairs / dt:.1f} pairs/s aggregate "
+        label = f"F={F}" + (f" (G={G})" if G != F else "")
+        print(f"{label}: {pairs / dt:.1f} pairs/s aggregate "
               f"({dt / args.iters * 1e3:.1f} ms/chunk-call)")
 
-    if not results:
+    ran = {k: v for k, v in results.items() if v is not None}
+    if not ran:
         print("no fold counts ran (check --folds vs --n_data_shards)")
         return 1
-    base_f = min(results)
-    base = results[base_f]
+    base_f = min(ran)
+    base = ran[base_f]
     out = {
         "metric": "fold_parallel_aggregate_pairs_per_s",
+        "group": args.group or None,
         "per_fold_count": {str(k): v for k, v in results.items()},
         # the baseline is the smallest fold count that actually ran (F=1
         # may be skipped under --n_data_shards) — name it honestly
         f"speedup_vs_f{base_f}": {
-            str(k): v / base for k, v in results.items()
+            str(k): v / base for k, v in ran.items()
         },
     }
     print(json.dumps(out))

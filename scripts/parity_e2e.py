@@ -39,24 +39,54 @@ REFERENCE = "/root/reference"
 BRAINDECODE_SHIM = '''\
 """Import shim so the reference's dataset_loader imports resolve.
 
-The parity run always passes --data_augmentation no, so these classes are
-imported (dataset_loader.py:5) but never instantiated; any attempt to use
-one fails loudly.
+braindecode is not installed in this environment.  GaussianNoise — the one
+transform the parity configs exercise (--config env_aug) — is reimplemented
+here with braindecode's documented semantics (per-example application with
+``probability``, additive N(0, std) noise), operating on the reference's
+actual batch layout (dataset_loader.py:431 calls ``aug(eeg_batch)`` on a
+[bs, wl, 64] tensor).  Every other class stays un-instantiable so an
+unexpected use fails loudly rather than silently diverging.
 """
+
+import torch
+
+
+class GaussianNoise:
+    def __init__(self, probability, std=0.16):
+        self.probability = probability
+        self.std = std
+
+    def __call__(self, X):
+        t = X if torch.is_tensor(X) else torch.as_tensor(X)
+        mask = torch.rand(t.shape[0]) < self.probability
+        noise = torch.randn_like(t) * self.std
+        out = torch.where(
+            mask.view(-1, *([1] * (t.dim() - 1))), t + noise, t
+        )
+        return out if torch.is_tensor(X) else out.numpy()
 
 
 class _NeverInstantiated:
     def __init__(self, *a, **k):
         raise RuntimeError(
-            "braindecode shim: augmentation classes must not be used in "
-            "the parity experiment (run with --data_augmentation no)"
+            "braindecode shim: only GaussianNoise is implemented for the "
+            "parity experiment"
         )
 
 
 SignFlip = FTSurrogate = FrequencyShift = BandstopFilter = _NeverInstantiated
-GaussianNoise = SmoothTimeMask = _NeverInstantiated
+SmoothTimeMask = _NeverInstantiated
 ChannelsDropout = ChannelsShuffle = _NeverInstantiated
 '''
+
+# experiment configurations (VERDICT r2 next #2: default + mel + an
+# env-stimulus run exercising mixup and on-the-fly augmentation)
+CONFIGS = {
+    "wav2vec": [],
+    "mel": ["--stimulus_features", "mel"],
+    "env_aug": ["--stimulus_features", "env", "--addEEG", "yes",
+                "--data_augmentation", "GaussianNoise"],
+}
 
 
 def build_fixture(data_dir: str, args) -> None:
@@ -116,7 +146,7 @@ def shared_flags(args, data_dir: str):
         "--shuffle", "yes",
         "--shuffle_percentage", "1.0",
         "--data_augmentation", "no",
-    ]
+    ] + CONFIGS[args.config]
 
 
 def run_reference(rig_dir: str, data_dir: str, args, log_path: str) -> str:
@@ -161,6 +191,48 @@ def run_reference(rig_dir: str, data_dir: str, args, log_path: str) -> str:
               "MM artifacts written)")
     print(f"reference done in {dt:.0f}s -> {new[-1]}")
     return out
+
+
+METRICS = (
+    "mm_mean_accuracy", "mm_top1_retrieval",
+    "regression_general_mean_pearson",
+)
+
+
+def _stats(values):
+    """mean, 95% t-CI half-width, n."""
+    import numpy as np
+
+    v = np.asarray([x for x in values if x is not None], float)
+    if v.size == 0:
+        return None
+    if v.size == 1:
+        return {"mean": float(v[0]), "ci95": None, "n": 1}
+    try:
+        from scipy import stats as st
+
+        hw = float(
+            st.t.ppf(0.975, v.size - 1) * v.std(ddof=1) / np.sqrt(v.size)
+        )
+    except Exception:
+        hw = float(1.96 * v.std(ddof=1) / np.sqrt(v.size))
+    return {"mean": float(v.mean()), "ci95": hw, "n": int(v.size)}
+
+
+def _welch(a, b):
+    """Welch's two-sample t-test p-value (None when either side is thin)."""
+    import numpy as np
+
+    a = np.asarray([x for x in a if x is not None], float)
+    b = np.asarray([x for x in b if x is not None], float)
+    if a.size < 2 or b.size < 2:
+        return None
+    try:
+        from scipy import stats as st
+
+        return float(st.ttest_ind(a, b, equal_var=False).pvalue)
+    except Exception:
+        return None
 
 
 def run_ours(workdir: str, data_dir: str, args, log_path: str) -> str:
@@ -233,7 +305,13 @@ def main(argv=None) -> int:
     ap.add_argument("--subjects", type=int, default=3)
     ap.add_argument("--story_seconds", type=int, default=90)
     ap.add_argument("--fixture_seed", type=int, default=3)
-    ap.add_argument("--ours_seed", type=int, default=0)
+    ap.add_argument("--ours_seed", type=int, default=0,
+                    help="base seed; run i uses ours_seed + i")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="independent training runs per side (>=10 for the "
+                         "CI-grade comparison; the reference is unseeded so "
+                         "its spread comes for free, ours varies --seed)")
+    ap.add_argument("--config", default="wav2vec", choices=sorted(CONFIGS))
     ap.add_argument("--skip_reference", default="no", choices=["yes", "no"])
     ap.add_argument("--skip_ours", default="no", choices=["yes", "no"])
     args = ap.parse_args(argv)
@@ -248,27 +326,47 @@ def main(argv=None) -> int:
         build_fixture(data_dir, args)
     build_rig(rig_dir, data_dir)
 
-    summary_path = os.path.join(workdir, "summary.json")
-    summary = {}
+    summary_path = os.path.join(workdir, f"summary_{args.config}.json")
+    summary = {"config": args.config}
     if os.path.exists(summary_path):
         with open(summary_path) as f:
             summary = json.load(f)
+    summary.setdefault("reference_runs", [])
+    summary.setdefault("ours_runs", [])
 
-    if args.skip_reference != "yes":
-        ref_dir = run_reference(
-            rig_dir, data_dir, args, os.path.join(workdir, "reference.log")
-        )
-        summary["reference"] = collect(ref_dir)
-    if args.skip_ours != "yes":
-        ours_dir = run_ours(
-            workdir, data_dir, args, os.path.join(workdir, "ours.log")
-        )
-        summary["ours"] = collect(ours_dir)
+    for i in range(args.runs):
+        if args.skip_reference != "yes":
+            ref_dir = run_reference(
+                rig_dir, data_dir, args,
+                os.path.join(workdir, f"reference_{args.config}_{i}.log"),
+            )
+            summary["reference_runs"].append(collect(ref_dir))
+        if args.skip_ours != "yes":
+            base = args.ours_seed
+            args.ours_seed = base + i
+            ours_dir = run_ours(
+                workdir, data_dir, args,
+                os.path.join(workdir, f"ours_{args.config}_{i}.log"),
+            )
+            args.ours_seed = base
+            summary["ours_runs"].append(collect(ours_dir))
+        # persist incrementally so a killed sweep keeps finished runs
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=2)
 
+    summary["stats"] = {}
+    for m in METRICS:
+        ref_vals = [r.get(m) for r in summary["reference_runs"]]
+        our_vals = [r.get(m) for r in summary["ours_runs"]]
+        summary["stats"][m] = {
+            "reference": _stats(ref_vals),
+            "ours": _stats(our_vals),
+            "welch_p": _welch(ref_vals, our_vals),
+        }
     summary["flags"] = shared_flags(args, data_dir)
     with open(summary_path, "w") as f:
         json.dump(summary, f, indent=2)
-    print(json.dumps(summary, indent=2))
+    print(json.dumps(summary["stats"], indent=2))
     return 0
 
 

@@ -38,12 +38,21 @@ sys.path.insert(0, REPO)
 
 SMOKE = os.environ.get("SCALE_SMOKE", "") == "1"
 if SMOKE:
+    # 90 s stories hold 30 windows, so smoke runs need --batch_size <= 30
     SHAPE = dict(n_stories=4, n_subjects=5, n_test_subjects=2,
                  story_seconds=90, speech_dim=32, stories_per_subject=3)
 else:
     # the real SparrKULee shape (~12 GB on disk here)
     SHAPE = dict(n_stories=15, n_subjects=85, n_test_subjects=14,
                  story_seconds=600, speech_dim=1024, stories_per_subject=10)
+
+# smoke runs shrink the model too — compiling the depth-10 flagship (and
+# especially its fold-vmapped twin) on the CPU test backend takes tens of
+# minutes, which defeats a smoke
+MODEL_FLAGS = (
+    ["--attention_depth", "2", "--lstm_units", "16", "--latent_dim", "4"]
+    if SMOKE else []
+)
 
 
 def _rss_gb() -> float:
@@ -100,7 +109,8 @@ def stage_ingest(args) -> dict:
     files = _discover(args.root, 0, SHAPE["n_subjects"])
     out = {"stage": "ingest"}
     t0 = time.time()
-    ds = EEGWindowDataset(files[0], files[4], 192, 192, batch_size=128)
+    ds = EEGWindowDataset(files[0], files[4], 192, 192,
+                          batch_size=args.batch_size)
     out["fold0_train_ingest_s"] = round(time.time() - t0, 1)
     out["fold0_train_rss_gb"] = round(_rss_gb(), 2)
     out["fold0_train_chunks"] = len(ds.batches_keys)
@@ -119,7 +129,8 @@ def stage_ingest(args) -> dict:
     # worst-case resident set (VERDICT r2 weak #1)
     t0 = time.time()
     union_f, union_a = files[0] + files[1], files[4] + files[5]
-    union = EEGWindowDataset(union_f, union_a, 192, 192, batch_size=128)
+    union = EEGWindowDataset(union_f, union_a, 192, 192,
+                             batch_size=args.batch_size)
     out["union_ingest_s"] = round(time.time() - t0, 1)
     out["union_rss_gb"] = round(_rss_gb(), 2)
     out["union_chunks"] = len(union.batches_keys)
@@ -136,8 +147,9 @@ def stage_train(args) -> dict:
         "--run", "0", "--epochs", str(args.epochs),
         "--number_of_training_subjects", str(args.train_subjects),
         "--skip_eval", "yes" if args.skip_eval else "no",
+        "--batch_size", str(args.batch_size),
         "--patience", "50",
-    ])
+    ] + MODEL_FLAGS)
     total_s = time.time() - t0
     run_dirs = sorted(os.listdir(results)) if os.path.isdir(results) else []
     out = {
@@ -166,8 +178,9 @@ def stage_cv(args) -> dict:
         "--results_folder", results,
         "--data_dir", args.root, "--epochs", str(args.epochs),
         "--number_of_training_subjects", str(args.train_subjects),
+        "--batch_size", str(args.batch_size),
         "--skip_eval", "yes", "--patience", "50",
-    ])
+    ] + MODEL_FLAGS)
     out = {
         "stage": "cv", "rc": rc, "total_s": round(time.time() - t0, 1),
         "rss_gb": round(_rss_gb(), 2),
@@ -191,8 +204,8 @@ def stage_evict(args) -> dict:
     from transformer_clip_eeg_tpu.train import device_data as dd
 
     files = _discover(args.root, 0, min(8, SHAPE["n_subjects"]))
-    ds = EEGWindowDataset(files[0], files[4], 192, 192, batch_size=32,
-                          seed=0)
+    ds = EEGWindowDataset(files[0], files[4], 192, 192,
+                          batch_size=min(args.batch_size, 32), seed=0)
 
     uploads = {"n": 0, "bytes": 0}
     orig_insert = dd.DeviceChunkStore._insert
@@ -224,6 +237,9 @@ def stage_evict(args) -> dict:
             uploads["n"] = uploads["bytes"] = 0
             sums = []
             t0 = time.time()
+            # index sampling draws from the dataset's own rng — reset it so
+            # both runs see identical batch contents
+            ds.rng = np.random.default_rng(7)
             for epoch in range(2):
                 rng = np.random.default_rng(123)  # same order both runs
                 for (eeg_d, sp_d, ids_d, idx, subs, _p) in store.epoch_batches(
@@ -278,6 +294,7 @@ def main() -> int:
     ap.add_argument("--stages", type=str, nargs="+",
                     default=["gen", "ingest", "train", "cv", "evict"])
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--train_subjects", type=int,
                     default=SHAPE["n_subjects"])
     ap.add_argument("--skip_eval", action="store_true")
@@ -294,6 +311,7 @@ def main() -> int:
         cmd = [sys.executable, os.path.abspath(__file__),
                "--root", args.root, "--out", args.out, "--stage", stage,
                "--epochs", str(args.epochs),
+               "--batch_size", str(args.batch_size),
                "--train_subjects", str(args.train_subjects)]
         if args.skip_eval:
             cmd.append("--skip_eval")

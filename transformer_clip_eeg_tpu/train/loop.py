@@ -449,6 +449,15 @@ class Trainer:
                 n_pairs += pairs
             jax.block_until_ready(self.state.params)
             epoch_time = time.time() - t0
+            # persisted epoch timing (the reference only streams per-batch
+            # losses; epoch wall-clock otherwise lives only in the returned
+            # history dict, invisible to log-reading tools like
+            # scripts/scale_rehearsal.py)
+            printf(
+                f"epoch {epoch} done in {epoch_time:.1f}s "
+                f"({n_pairs / max(epoch_time, 1e-9):.0f} pairs/s)",
+                self.loss_file,
+            )
             if self.profile_dir and epoch == 0:
                 jax.profiler.stop_trace()
                 printf(f"profiler trace written to {self.profile_dir}",

@@ -35,6 +35,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
+sys.path.insert(0, REPO)  # script may be launched from anywhere
 
 BRAINDECODE_SHIM = '''\
 """Import shim so the reference's dataset_loader imports resolve.

@@ -274,14 +274,16 @@ def collect(results_dir: str) -> dict:
     if os.path.exists(mm):
         with open(mm) as f:
             accs = list(json.load(f).values())
-        out["mm_mean_accuracy"] = sum(accs) / len(accs)
-        out["mm_n_subjects"] = len(accs)
+        if accs:
+            out["mm_mean_accuracy"] = sum(accs) / len(accs)
+            out["mm_n_subjects"] = len(accs)
     topx = os.path.join(results_dir, "evaluation_challenge_set_2023_mm_top_x.json")
     if os.path.exists(topx):
         with open(topx) as f:
             per_sub = json.load(f).values()
         tops = [c[0] for c in per_sub]
-        out["mm_top1_retrieval"] = sum(tops) / len(tops)
+        if tops:
+            out["mm_top1_retrieval"] = sum(tops) / len(tops)
     reg = os.path.join(
         results_dir, "evaluation_regression_general_model_env.json"
     )

@@ -159,6 +159,24 @@ def _make_icassp_testset(
     }
     with open(os.path.join(seg_dir, "teststory_-_wav2vec_19.pkl"), "wb") as f:
         pickle.dump(segments, f)
+    # mel/env candidate sets for the same segments (the MM eval globs
+    # ``*{stimulus_feature}*.pkl`` — ref helper:58,92 — so runs trained on
+    # mel/env need their own candidate files), derived with the same
+    # transformations the main fixture applies to story features above
+    def _mel_of(x):
+        m = np.abs(x[:, : min(28, speech_dim)])
+        if m.shape[1] < 28:
+            m = np.tile(m, (1, int(np.ceil(28 / m.shape[1]))))[:, :28]
+        return m.astype(np.float32)
+
+    with open(os.path.join(seg_dir, "teststory_-_mel.pkl"), "wb") as f:
+        pickle.dump({k: _mel_of(v) for k, v in segments.items()}, f)
+    with open(os.path.join(seg_dir, "teststory_-_env.pkl"), "wb") as f:
+        pickle.dump(
+            {k: np.abs(v[:, :1]).astype(np.float32)
+             for k, v in segments.items()},
+            f,
+        )
 
     for si in range(n_subjects):
         sub = f"sub-9{si:02d}"

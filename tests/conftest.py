@@ -16,12 +16,33 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent XLA compile cache shared by the whole suite (and by repeat
+# suite runs): most of the suite's wall-clock is jit compilation of the
+# same small programs over and over — warm runs skip it.  The env var
+# (rather than jax.config) also reaches the CLI/serving subprocesses the
+# e2e tests spawn.  Opt out with TEST_COMPILE_CACHE=0; tests that assert
+# on cache behavior manage their own dirs/env and are unaffected.
+if os.environ.get("TEST_COMPILE_CACHE", "1") != "0":
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/tce_tpu_test_jit_cache"
+    )
+    # (min-compile-time stays at jax's 1.0 s default — setting the env var
+    # here would override the explicit min_compile_time_secs=0.0 the cache
+    # tests pass, per the env-wins contract in utils/platform.py)
+
 # jaxtyping's pytest plugin imports jax before this conftest runs, so jax's
 # config may already have captured JAX_PLATFORMS=axon — override it directly
 # (safe as long as no backend has been initialized yet).
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Same late-import problem for the cache dir: jax captured the (unset) env
+# var at import, so the os.environ write above only reaches subprocesses —
+# the in-process suite needs the config update too.
+if os.environ.get("TEST_COMPILE_CACHE", "1") != "0":
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
 
 import numpy as np
 import pytest

@@ -194,6 +194,60 @@ def test_regression_suite_end_to_end(trained, monkeypatch):
     assert any(p.endswith("_predictions.json") for p in preds)
 
 
+def test_shared_embeddings_cache_across_regression_evals(trained, monkeypatch):
+    """The CLI shares one ingest+extraction pass between the sub-specific
+    and sub-independent regression evals (SCALE.md flagged the duplicate
+    re-ingest as most of the eval phase at corpus scale): with a shared
+    cache the corpus is extracted 3x (train/val/test), not 6x, and every
+    output is identical to the uncached path."""
+    import transformer_clip_eeg_tpu.eval.regression as reg
+
+    f = trained["files"]
+    model = trained["trainer"].model
+    variables = trained["trainer"].state.variables
+
+    orig_probes = reg.train_regression_probes_batched
+
+    def fast_probes(*args, **kw):
+        kw["epochs"] = 5
+        return orig_probes(*args, **kw)
+
+    monkeypatch.setattr(reg, "train_regression_probes_batched", fast_probes)
+
+    calls = {"n": 0}
+    orig_extract = reg.extract_subject_embeddings
+
+    def counting_extract(*args, **kw):
+        calls["n"] += 1
+        return orig_extract(*args, **kw)
+
+    monkeypatch.setattr(reg, "extract_subject_embeddings", counting_extract)
+
+    def run_both(rd, cache):
+        os.makedirs(rd, exist_ok=True)
+        ev_sub = evaluate_model_do_regression_sub_specific(
+            model, variables, f["train_f"], f["val_f"], f["test_f"],
+            f["train_a"], f["val_a"], f["test_a"], rd, batch_size=8,
+            embeddings_cache=cache,
+        )
+        ev_gen = evaluate_model_do_regression_sub_independent(
+            model, variables, f["train_f"], f["val_f"], f["test_f"],
+            f["train_a"], f["val_a"], f["test_a"], rd, batch_size=8,
+            embeddings_cache=cache,
+        )
+        return ev_sub, ev_gen
+
+    base = os.path.join(trained["root"], "results_emb_cache")
+    ev_sub_u, ev_gen_u = run_both(os.path.join(base, "uncached"), None)
+    uncached_calls = calls["n"]
+    calls["n"] = 0
+    ev_sub_c, ev_gen_c = run_both(os.path.join(base, "cached"), {})
+    assert uncached_calls == 6
+    assert calls["n"] == 3
+    assert ev_sub_c == ev_sub_u
+    assert ev_gen_c == ev_gen_u
+
+
 def test_batched_probe_training_matches_sequential():
     """The single-dispatch vmapped probe trainer must reproduce the
     sequential per-subject procedure (ragged lengths, tail batches,

@@ -344,18 +344,23 @@ def run_eval_suite(
 
     # (the reference hardcodes the regression dataset's batch to 128,
     # ref :496; using the configured batch keeps short test fixtures viable)
+    # Both regression blocks embed the SAME corpus — share one
+    # ingest+extraction pass between them (SCALE.md: the duplicate
+    # re-ingest was most of the eval phase's 4,200 s at SparrKULee scale).
+    emb_cache: dict = {}
     evaluate_model_do_regression_sub_specific(
         model, variables, train_files, val_files, test_files,
         train_audio, val_audio, test_audio, results_dir,
         regress_to="env", window_length=cfg.window_length_s, fs=cfg.fs,
-        batch_size=cfg.batch_size, mesh=mesh,
+        batch_size=cfg.batch_size, mesh=mesh, embeddings_cache=emb_cache,
     )
     evaluate_model_do_regression_sub_independent(
         model, variables, train_files, val_files, test_files,
         train_audio, val_audio, test_audio, results_dir,
         regress_to="env", window_length=cfg.window_length_s, fs=cfg.fs,
-        batch_size=cfg.batch_size, mesh=mesh,
+        batch_size=cfg.batch_size, mesh=mesh, embeddings_cache=emb_cache,
     )
+    emb_cache.clear()
 
     reg_folder = find_icassp_folder(cfg.data_dir, "TEST_task2_regression")
     if reg_folder:

@@ -143,6 +143,42 @@ def extract_subject_embeddings(
     }
 
 
+def _cached_extract(
+    cache: Optional[dict],
+    model,
+    variables,
+    files,
+    audio_files,
+    wl: int,
+    regress_to: str,
+    batch_size: int,
+    mesh,
+):
+    """``extract_subject_embeddings`` behind an optional caller-owned cache.
+
+    The sub-specific and sub-independent evals each ingest the SAME
+    train/val/test corpus from disk and re-embed it (the reference does
+    too — its per-block structure at ref ``train_clip_final.py:558-601``
+    re-instantiates ``EEGDatasetSimdata`` six times).  At SparrKULee scale
+    that re-ingest dominates eval wall-clock (SCALE.md: ~4,200 s of an
+    8,292 s run) while the extracted embeddings are tiny ([N,T,8] vs the
+    raw [N,T,64] EEG + [N,T,1024] wav2vec), so the CLI shares one cache
+    dict across both blocks.  Keyed on everything that affects the output.
+    """
+    if cache is None:
+        return extract_subject_embeddings(
+            model, variables, files, audio_files, wl, regress_to,
+            batch_size, mesh=mesh,
+        )
+    key = (tuple(files), tuple(audio_files), wl, regress_to, batch_size)
+    if key not in cache:
+        cache[key] = extract_subject_embeddings(
+            model, variables, files, audio_files, wl, regress_to,
+            batch_size, mesh=mesh,
+        )
+    return cache[key]
+
+
 # ---------------------------------------------------------------------------
 # Probe training (ref :623-672)
 # ---------------------------------------------------------------------------
@@ -489,25 +525,29 @@ def evaluate_model_do_regression_sub_specific(
     fs: int = 64,
     batch_size: int = 128,
     mesh=None,
+    embeddings_cache: Optional[dict] = None,
 ) -> Dict[str, float]:
     """Per-subject probes; returns {subject: test negative-Pearson loss}
     and writes ``evaluation_regression.json`` + per-subject probe
-    checkpoints under ``sub_specific/`` (ref :443-764)."""
+    checkpoints under ``sub_specific/`` (ref :443-764).
+
+    ``embeddings_cache``: optional dict shared with the sub-independent
+    eval so the corpus is ingested + embedded once, not twice."""
     os.makedirs(os.path.join(result_folder, "sub_specific"), exist_ok=True)
     wl = window_length * fs
     evaluation: Dict[str, float] = {}
 
-    train_by_sub = extract_subject_embeddings(
-        model, variables, train_files, train_files_audio, wl, regress_to,
-        batch_size, mesh=mesh,
+    train_by_sub = _cached_extract(
+        embeddings_cache, model, variables, train_files, train_files_audio,
+        wl, regress_to, batch_size, mesh,
     )
-    val_by_sub = extract_subject_embeddings(
-        model, variables, val_files, val_files_audio, wl, regress_to,
-        batch_size, mesh=mesh,
+    val_by_sub = _cached_extract(
+        embeddings_cache, model, variables, val_files, val_files_audio,
+        wl, regress_to, batch_size, mesh,
     )
-    test_by_sub = extract_subject_embeddings(
-        model, variables, test_files, test_files_audio, wl, regress_to,
-        batch_size, mesh=mesh,
+    test_by_sub = _cached_extract(
+        embeddings_cache, model, variables, test_files, test_files_audio,
+        wl, regress_to, batch_size, mesh,
     )
 
     print(f"number of subjects {len(train_by_sub)}")
@@ -612,26 +652,30 @@ def evaluate_model_do_regression_sub_independent(
     fs: int = 64,
     batch_size: int = 128,
     mesh=None,
+    embeddings_cache: Optional[dict] = None,
 ) -> Dict[str, float]:
     """One global probe over all subjects; per-subject test losses →
     ``evaluation_regression_general_model_env.json`` (ref :767-1103).
     Skips training when ``regression_model_general_env`` already exists
-    (ref :813)."""
+    (ref :813).
+
+    ``embeddings_cache``: optional dict shared with the sub-specific
+    eval so the corpus is ingested + embedded once, not twice."""
     wl = window_length * fs
     evaluation: Dict[str, float] = {}
     probe_path = os.path.join(result_folder, f"regression_model_general_{regress_to}")
 
-    train_by_sub = extract_subject_embeddings(
-        model, variables, train_files, train_files_audio, wl, regress_to,
-        batch_size, mesh=mesh,
+    train_by_sub = _cached_extract(
+        embeddings_cache, model, variables, train_files, train_files_audio,
+        wl, regress_to, batch_size, mesh,
     )
-    val_by_sub = extract_subject_embeddings(
-        model, variables, val_files, val_files_audio, wl, regress_to,
-        batch_size, mesh=mesh,
+    val_by_sub = _cached_extract(
+        embeddings_cache, model, variables, val_files, val_files_audio,
+        wl, regress_to, batch_size, mesh,
     )
-    test_by_sub = extract_subject_embeddings(
-        model, variables, test_files, test_files_audio, wl, regress_to,
-        batch_size, mesh=mesh,
+    test_by_sub = _cached_extract(
+        embeddings_cache, model, variables, test_files, test_files_audio,
+        wl, regress_to, batch_size, mesh,
     )
     if not train_by_sub:
         print("no training data for sub-independent regression")

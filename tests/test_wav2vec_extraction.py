@@ -243,3 +243,26 @@ def test_bf16_extraction_close_to_f32(tiny):
     assert out_bf16.shape == out_f32.shape
     scale = np.abs(out_f32).mean()
     assert np.abs(out_bf16 - out_f32).mean() < 0.05 * scale
+
+
+def test_max_chunk_batch_slicing_exact(tiny):
+    """Bounding the per-dispatch chunk batch (HBM guard for long stories,
+    SCALE.md) must not change the features: a 10-chunk story extracted in
+    padded slabs of 4 matches the unbounded single-batch path exactly."""
+    _, model, variables = tiny
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(SR * 21 + 17).astype(np.float32)
+
+    unbounded = Wav2Vec2FeatureExtractor(
+        model, variables, layers=(1, 3), sr=SR, frames_per_s=FRAMES_PER_S,
+        max_chunk_batch=None,
+    )
+    sliced = Wav2Vec2FeatureExtractor(
+        model, variables, layers=(1, 3), sr=SR, frames_per_s=FRAMES_PER_S,
+        max_chunk_batch=4,
+    )
+    ref = unbounded.get_hidden_output(audio, overlap=2, segment_length=2)
+    got = sliced.get_hidden_output(audio, overlap=2, segment_length=2)
+    for layer in (1, 3):
+        assert got[layer].shape == ref[layer].shape
+        np.testing.assert_allclose(got[layer], ref[layer], atol=1e-6)

@@ -16,10 +16,18 @@ Behavioral parity with ref ``preprocess_audio/create_wav2vec.py``:
   gunzip, extract, ``scipy.signal.resample`` 50 → 64 Hz, save
   ``{story}_-_wav2vec_{layer}.npy``; idempotent (ref ``:128-158``).
 
-TPU-first: all equal-length chunks are stacked and run as **one batched
-forward** at a static shape (one XLA compile) instead of the reference's
-per-chunk batch-1 loop; the ragged final chunk runs separately at its natural
-length.  The encoder stops at the deepest requested tap layer.
+TPU-first: equal-length chunks are stacked and run as a **batched forward**
+at a static shape (one XLA compile) instead of the reference's per-chunk
+batch-1 loop; the ragged final chunk runs separately at its natural length.
+The encoder stops at the deepest requested tap layer.
+
+The chunk batch is bounded by ``max_chunk_batch`` (default 16): the conv
+feature encoder's early activations are huge (a 10 s chunk holds a
+[512, 32000] f32 map per example ≈ 65 MB), so running a full 15-minute
+story's ~112 chunks as one batch needs >7 GB for a single conv activation
+and wedges a 16 GB chip in spill/remat (found by the scale dress
+rehearsal, SCALE.md).  Sliced slabs are padded to one static shape, so a
+whole stimulus set compiles exactly two programs (slab + ragged tail).
 """
 
 from __future__ import annotations
@@ -111,10 +119,15 @@ class Wav2Vec2FeatureExtractor:
         sr: int = SR,
         frames_per_s: int = FRAMES_PER_S,
         mesh=None,
+        max_chunk_batch: Optional[int] = 16,
     ):
         """``mesh``: optional ``('data','model')`` mesh — batches shard over
         'data' and the encoder runs Megatron-sharded over 'model'
-        (``parallel/tp.py``); numerics identical to single-device."""
+        (``parallel/tp.py``); numerics identical to single-device.
+
+        ``max_chunk_batch``: upper bound on the chunk batch per dispatch
+        (``None`` = unbounded).  See the module docstring for why long
+        stories must not run as one batch."""
         import jax
 
         self.model = model
@@ -122,6 +135,7 @@ class Wav2Vec2FeatureExtractor:
         self.sr = sr
         self.frames_per_s = frames_per_s
         self.mesh = mesh
+        self.max_chunk_batch = max_chunk_batch
         if mesh is not None:
             from transformer_clip_eeg_tpu.parallel.mesh import DATA_AXIS
             from transformer_clip_eeg_tpu.parallel.tp import (
@@ -216,14 +230,30 @@ class Wav2Vec2FeatureExtractor:
 
         if full_chunks:
             batch = np.stack(full_chunks)
-            outs = self._forward(batch)
-            for layer in self.layers:
-                # saved features are always f32 regardless of compute dtype
-                arr = np.asarray(outs[layer], np.float32)
-                for j in range(arr.shape[0]):
-                    out = arr[j]
-                    # non-final: strip both sides, +1 tail quirk (ref :119)
-                    outputs[layer].append(out[strip : out.shape[0] - strip + 1])
+            n = batch.shape[0]
+            # bound the per-dispatch batch (HBM: see module docstring); pad
+            # sliced slabs to one static shape so every story reuses the
+            # same compiled program
+            mb = self.max_chunk_batch or n
+            for s in range(0, n, mb):
+                slab = batch[s : s + mb]
+                real = slab.shape[0]
+                if n > mb and real < mb:
+                    slab = np.concatenate(
+                        [slab, np.zeros((mb - real,) + slab.shape[1:],
+                                        slab.dtype)]
+                    )
+                outs = self._forward(slab)
+                for layer in self.layers:
+                    # saved features are f32 regardless of compute dtype
+                    arr = np.asarray(outs[layer], np.float32)[:real]
+                    for j in range(arr.shape[0]):
+                        out = arr[j]
+                        # non-final: strip both sides, +1 tail quirk
+                        # (ref :119)
+                        outputs[layer].append(
+                            out[strip : out.shape[0] - strip + 1]
+                        )
 
         for tail in tail_chunks:
             if tail.size == 0:
@@ -312,6 +342,9 @@ def main(argv=None) -> int:
                    help="compute dtype for the extraction forward; bf16 is "
                         "~1.5x faster at batch >= 32 (PERF.md) and "
                         "feature deltas stay ~1e-2 on unit-scale hiddens")
+    p.add_argument("--max_chunk_batch", type=int, default=16,
+                   help="max chunks per forward dispatch (0 = unbounded); "
+                        "bounds conv-encoder activation HBM on long stories")
     p.add_argument("--n_data_shards", type=int, default=0,
                    help="shard chunk batches over a 'data' mesh axis of "
                         "this size (0 = single device)")
@@ -343,7 +376,8 @@ def main(argv=None) -> int:
             n_data=args.n_data_shards or None, n_model=args.n_model_shards
         )
     extractor = Wav2Vec2FeatureExtractor(
-        model, variables, args.layers, mesh=mesh
+        model, variables, args.layers, mesh=mesh,
+        max_chunk_batch=args.max_chunk_batch or None,
     )
 
     stimuli_dir = os.path.join(args.dataset_root, "stimuli", "eeg")

@@ -151,8 +151,6 @@ class InferenceSession:
         # An already-configured cache (the serve/server CLI flag, applied
         # before this call, or an env var) wins over the saved value.
         if getattr(cfg, "compile_cache_dir", ""):
-            import jax
-
             from transformer_clip_eeg_tpu.utils.platform import (
                 enable_compile_cache,
             )

@@ -158,6 +158,7 @@ def test_serving_session_applies_saved_cache_dir(tmp_path,
     assert jax.config.jax_compilation_cache_dir == other
 
 
+@pytest.mark.slow
 def test_trainer_applies_compile_cache_dir(fixture_root, tmp_path,
                                            _restore_cache_config,
                                            monkeypatch):

@@ -3,6 +3,8 @@
 import json
 import os
 import subprocess
+
+import pytest
 import sys
 
 from transformer_clip_eeg_tpu.data.fixtures import make_fixture
@@ -41,6 +43,7 @@ def test_cv_driver_single_fold(tmp_path):
     assert "mm_accuracy_mean" in summary["folds"]["0"]
 
 
+@pytest.mark.slow
 def test_cv_driver_parallel_folds(tmp_path):
     """--parallel yes: both folds train in one vmapped program, then each
     fold's eval suite writes JSONs into results/fold_{f}/ and the summary

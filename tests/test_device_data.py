@@ -84,6 +84,7 @@ def test_device_mode_training(ds, tmp_path):
     ] + 0.5
 
 
+@pytest.mark.slow
 def test_chunk_scan_step_matches_per_batch(ds):
     """One-dispatch-per-chunk scan == the per-batch chunk step: identical
     final state (params, opt state, memory bank) and per-batch losses;
@@ -254,6 +255,7 @@ def _fresh_datasets(root, batch_size=8):
     return train, val
 
 
+@pytest.mark.slow
 def test_device_mode_composes_with_mesh(ds, tmp_path):
     """The flagship fast path (device-resident chunks + chunk-scan step) and
     the scale-out path (8-way data-parallel mesh) must be the SAME path

@@ -146,6 +146,7 @@ def test_eval_suite_mesh_matches_single_device(trained):
         )
 
 
+@pytest.mark.slow
 def test_regression_suite_end_to_end(trained, monkeypatch):
     f = trained["files"]
     rd = trained["results_dir"]
@@ -194,6 +195,7 @@ def test_regression_suite_end_to_end(trained, monkeypatch):
     assert any(p.endswith("_predictions.json") for p in preds)
 
 
+@pytest.mark.slow
 def test_shared_embeddings_cache_across_regression_evals(trained, monkeypatch):
     """The CLI shares one ingest+extraction pass between the sub-specific
     and sub-independent regression evals (SCALE.md flagged the duplicate
@@ -474,6 +476,7 @@ def test_mm_challenge_eval_reference_oracle(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_sub_specific_falls_back_when_batched_probes_fail(
     trained, tmp_path, monkeypatch
 ):

@@ -135,6 +135,7 @@ def test_fold_scan_rng_is_threefry_even_under_rbg_default():
     assert bool(jnp.all(batched == solo))
 
 
+@pytest.mark.slow
 def test_train_step_runs_under_rbg():
     """A real (tiny) flagship train step under rbg: finite losses, params
     move, and two steps draw different dropout masks (loss differs on

@@ -186,11 +186,18 @@ def test_early_stop_restores_usable_state(fixture_root, tmp_path):
 @pytest.mark.parametrize(
     "arch,eeg_enc,speech_enc",
     [
-        ("clip_sim", "vlaai", "convLSTM"),
+        # the fast gate keeps two rows (dispatch wiring itself + the
+        # flagship head); every arch string still trains in the full
+        # suite, and each head/encoder has its own fast unit/parity tests
+        pytest.param("clip_sim", "vlaai", "convLSTM",
+                     marks=pytest.mark.slow),
         ("clip_mp", "conformer", "smallConv"),
-        ("clip_kld", "convLSTMnew", "convLSTM"),
-        ("clip_kld_latent_proj", "lstm", "double_lstm"),
-        ("no_contrastive_learning", "convLSTM", "convLSTM"),
+        pytest.param("clip_kld", "convLSTMnew", "convLSTM",
+                     marks=pytest.mark.slow),
+        pytest.param("clip_kld_latent_proj", "lstm", "double_lstm",
+                     marks=pytest.mark.slow),
+        pytest.param("no_contrastive_learning", "convLSTM", "convLSTM",
+                     marks=pytest.mark.slow),
         ("clip_sim_no_latent_proj", "double_lstm", "double_lstm"),
     ],
 )
@@ -212,7 +219,15 @@ def test_arch_encoder_dispatch_smoke(fixture_root, tmp_path, arch, eeg_enc,
     assert np.isfinite(out["best_loss"]), (arch, eeg_enc, speech_enc)
 
 
-@pytest.mark.parametrize("aug", ["GaussianNoise", "FTSurrogate"])
+@pytest.mark.parametrize(
+    "aug",
+    [
+        "GaussianNoise",
+        # FT surrogate's FFT path has fast op-level tests; the trainer-level
+        # wiring is identical to the GaussianNoise row kept in the gate
+        pytest.param("FTSurrogate", marks=pytest.mark.slow),
+    ],
+)
 def test_trainer_with_augmentation_and_mixup(fixture_root, tmp_path, aug):
     """On-device augmentation + cross-subject mixup wired through the full
     fit path (ref dataset_loader.py:113-165,333-356 run these on the host;

@@ -114,16 +114,26 @@ def run_cli(root: str, model_dir: str, dtype: str, timeout_s=None) -> dict:
         "--dataset_root", root, "--model_path", model_dir,
         "--layers", *[str(x) for x in LAYERS], "--dtype", dtype,
     ]
+    # persistent compile cache shared between the killed first pass and the
+    # resume pass: a production operator restarting extraction would have
+    # one, and without it the resume pays the full XLSR trace+compile again
+    env = dict(os.environ,
+               JAX_COMPILATION_CACHE_DIR=os.path.join(root, "jit_cache"))
     t0 = time.time()
+    # stream CLI output to a file (not PIPE) so long passes can be monitored
+    # and a wedged pass is distinguishable from a slow one
+    log_path = os.path.join(root, f"cli_{dtype}.log")
     try:
-        proc = subprocess.run(
-            cmd, cwd=REPO, timeout=timeout_s, capture_output=True, text=True
-        )
+        with open(log_path, "a") as log_f:
+            proc = subprocess.run(
+                cmd, cwd=REPO, timeout=timeout_s, stdout=log_f,
+                stderr=subprocess.STDOUT, text=True, env=env,
+            )
         rc, killed = proc.returncode, False
-        tail = (proc.stdout + proc.stderr)[-800:]
-    except subprocess.TimeoutExpired as e:
+    except subprocess.TimeoutExpired:
         rc, killed = -1, True
-        tail = ((e.stdout or b"").decode(errors="ignore"))[-800:]
+    with open(log_path) as f:
+        tail = f.read()[-800:]
     done = len(glob.glob(os.path.join(
         root, "derivatives", "preprocessed_stimuli",
         f"*_-_wav2vec_{LAYERS[0]}.npy",

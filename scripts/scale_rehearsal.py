@@ -226,14 +226,27 @@ def stage_evict(args) -> dict:
             for k in ds.batches_keys
         ]
         tiny = int(2.5 * max(chunk_sizes))
-        for label, kwargs in (
-            ("ample", {}),
-            ("tiny", {"max_resident": None}),
+        # warm the gather/stack jit programs once so the first timed leg
+        # doesn't carry the compile cost (the legs' walk_s would otherwise
+        # compare cold vs warm instead of ample vs tiny)
+        from transformer_clip_eeg_tpu.train.device_data import gather_batch
+
+        warm = dd.DeviceChunkStore(ds, max_resident=2)
+        for i, (eeg_d, sp_d, ids_d, idx, subs, _p) in enumerate(
+            warm.epoch_batches(rng=np.random.default_rng(0), shuffle=False)
         ):
-            store = dd.DeviceChunkStore(ds, **kwargs)
-            if label == "tiny":
-                store.budget_bytes = tiny
-                store.max_resident = None
+            gather_batch(eeg_d, sp_d, ids_d, idx, subs)["eeg"].block_until_ready()
+            if i >= 2:
+                break
+        del warm
+        for label in ("ample", "tiny"):
+            store = dd.DeviceChunkStore(ds, max_resident=2)
+            # the auto HBM budget is unknowable through the tunneled
+            # runtime (memory_stats() absent -> 2-chunk fallback), so both
+            # legs pin their budget explicitly: ample = everything
+            # resident, tiny = ~2.5 chunks (forced eviction every step)
+            store.budget_bytes = (1 << 50) if label == "ample" else tiny
+            store.max_resident = None
             uploads["n"] = uploads["bytes"] = 0
             sums = []
             t0 = time.time()

@@ -308,10 +308,18 @@ def main() -> int:
                     default=["gen", "ingest", "train", "cv", "evict"])
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch_size", type=int, default=128)
-    ap.add_argument("--train_subjects", type=int,
-                    default=SHAPE["n_subjects"])
+    ap.add_argument("--train_subjects", type=int, default=0,
+                    help="0 = the dataset's n_subjects")
     ap.add_argument("--skip_eval", action="store_true")
+    # shape overrides: stages that only touch a slice of the corpus (evict
+    # ingests <=8 subjects) can run against a right-sized gen — full-size
+    # stories/features/chunks without paying the 85-subject EEG volume
+    for key, dflt in SHAPE.items():
+        ap.add_argument(f"--{key}", type=int, default=dflt)
     args = ap.parse_args()
+    for key in SHAPE:
+        SHAPE[key] = getattr(args, key)
+    args.train_subjects = args.train_subjects or SHAPE["n_subjects"]
     args.out = args.out or os.path.join(args.root, "_scale_out")
     os.makedirs(args.out, exist_ok=True)
 
@@ -326,6 +334,8 @@ def main() -> int:
                "--epochs", str(args.epochs),
                "--batch_size", str(args.batch_size),
                "--train_subjects", str(args.train_subjects)]
+        for key in SHAPE:
+            cmd += [f"--{key}", str(SHAPE[key])]
         if args.skip_eval:
             cmd.append("--skip_eval")
         print(f"=== stage {stage} ===", flush=True)

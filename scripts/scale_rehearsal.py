@@ -263,7 +263,15 @@ def stage_evict(args) -> dict:
                     )
 
                     batch = gather_batch(eeg_d, sp_d, ids_d, idx, subs)
-                    sums.append(float(batch["eeg"].sum()))
+                    # full-byte digest of BOTH gathered tensors: a sum can
+                    # pass with permuted/misplaced rows (ADVICE r3)
+                    import hashlib
+
+                    h = hashlib.sha1()
+                    h.update(np.ascontiguousarray(batch["eeg"]).tobytes())
+                    h.update(np.ascontiguousarray(batch["speech"]).tobytes())
+                    h.update(np.ascontiguousarray(batch["ids"]).tobytes())
+                    sums.append(h.hexdigest())
             runs[label] = {
                 "sums": sums,
                 "uploads": uploads["n"],

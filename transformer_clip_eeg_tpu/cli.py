@@ -129,6 +129,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="encoder compute dtype (params/loss stay float32)")
+    p.add_argument("--chunk_store_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="device chunk-store storage dtype; bfloat16 halves "
+                        "HBM residency + upload bytes (inputs rounded, "
+                        "compute stays f32)")
+    p.add_argument("--chunk_budget_frac", type=float, default=0.75,
+                   help="fraction of free HBM the chunk store may keep "
+                        "resident (auto budget)")
     p.add_argument("--prng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32", "unsafe_rbg"],
                    help="jax PRNG for dropout/augmentation streams; rbg is "

@@ -43,6 +43,8 @@ def make_fixture(
     correlated: bool = True,
     n_test_subjects: int = 1,
     stories_per_subject: Optional[int] = None,
+    mm_subjects: int = 2,
+    mm_noise: float = 0.5,
 ) -> Dict:
     """Create the fixture tree under ``root``; returns metadata.
 
@@ -129,7 +131,37 @@ def make_fixture(
         "root": root,
     }
     _make_icassp_testset(
-        root, rng, mix, speech_dim, window_length, n_subjects=2, meta=meta
+        root, rng, mix, speech_dim, window_length, n_subjects=mm_subjects,
+        meta=meta, noise=mm_noise,
+    )
+    return meta
+
+
+def regen_icassp_testset(
+    root: str,
+    speech_dim: int,
+    window_length: int = 192,
+    n_subjects: int = 14,
+    noise: float = 0.5,
+    seed: int = 0,
+) -> Dict:
+    """Regenerate ONLY the ``icassp/`` held-out eval tree of an existing
+    fixture — e.g. with more subjects or a lower SNR (``noise`` is the EEG
+    noise std against a unit-variance projected-speech signal) so the MM
+    eval measures *discrimination* rather than saturating at 100%
+    (VERDICT r3 #4).  The speech→EEG mixing matrix is reproduced from
+    ``seed`` exactly as :func:`make_fixture` drew it (its first rng draw),
+    so a model trained on the corpus transfers; candidate segments and
+    trials are freshly drawn.
+    """
+    rng = np.random.default_rng(seed)
+    mix = rng.standard_normal((speech_dim, 64)).astype(np.float32) / np.sqrt(
+        speech_dim
+    )
+    meta: Dict = {"root": root}
+    _make_icassp_testset(
+        root, np.random.default_rng(seed + 1000), mix, speech_dim,
+        window_length, n_subjects=n_subjects, meta=meta, noise=noise,
     )
     return meta
 
@@ -142,6 +174,7 @@ def _make_icassp_testset(
     window_length: int,
     n_subjects: int,
     meta: Dict,
+    noise: float = 0.5,
 ):
     """ICASSP-2023 challenge test folders (match-mismatch + regression)."""
     mm_dir = os.path.join(root, "icassp", "TEST_task1_matchmismatch")
@@ -193,7 +226,7 @@ def _make_icassp_testset(
             )
             eeg = (
                 segments[seg_keys[match_idx]] @ mix
-                + 0.5 * rng.standard_normal((window_length, 64))
+                + noise * rng.standard_normal((window_length, 64))
             ).astype(np.float32)
             mapping[key] = [eeg.tolist(), cand[0] + ".npy", cand[1] + ".npy"]
             labels[key] = label
@@ -215,7 +248,7 @@ def _make_icassp_testset(
             key = f"{sub}_reg_trial{trial}"
             speech = rng.standard_normal((t_trial, speech_dim)).astype(np.float32)
             eeg = (
-                speech @ mix + 0.5 * rng.standard_normal((t_trial, 64))
+                speech @ mix + noise * rng.standard_normal((t_trial, 64))
             ).astype(np.float32)
             mapping[key] = eeg.tolist()
             labels[key] = [np.abs(speech[:, 0]).tolist()]

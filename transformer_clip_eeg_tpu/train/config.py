@@ -93,6 +93,14 @@ class TrainConfig:
     # jitted step (~8x less host->device traffic), 'auto' = device on TPU,
     # host otherwise
     data_mode: str = "auto"
+    # device chunk-store storage dtype: 'bfloat16' halves the HBM working
+    # set and upload bytes (gathers cast back to f32 in-step — input
+    # rounding only).  Use when the corpus working set exceeds the HBM
+    # budget (SCALE.md measured ~14 GB f32 at SparrKULee scale on a 16 GB
+    # chip); 'float32' keeps chunk bytes bit-exact to the host path.
+    chunk_store_dtype: str = "float32"
+    # fraction of free HBM the chunk store may hold resident (auto budget)
+    chunk_budget_frac: float = 0.75
     # 0 = single device; N = N-way data-parallel ('data') mesh.  Persisted
     # so --only_evaluate / cv reloads reconstruct the mesh the run used.
     n_data_shards: int = 0

@@ -26,6 +26,7 @@ seconds over a remote/tunneled link).
 from __future__ import annotations
 
 import threading
+import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Dict, Iterator, Optional, Tuple
 
@@ -54,11 +55,22 @@ class DeviceChunkStore:
 
     Residency policy: by default (``max_resident=None``) chunks stay
     resident up to a byte budget auto-sized from the device's free memory
-    (half of free HBM at construction).  At SparrKULee scale the whole
-    feature set fits comfortably in one chip's HBM, so epochs after the
-    first run with **zero** host→device data traffic.  Where memory stats
-    are unavailable (CPU test meshes) the policy falls back to a
-    2-chunk count cap; passing ``max_resident=N`` forces a count cap.
+    (``budget_frac`` — default 75% — of free HBM at construction).  At
+    SparrKULee scale an f32 working set can exceed that budget (measured
+    ~14 GB on a 16 GB chip, SCALE.md r3); eviction then picks the resident
+    chunk whose next use in the current epoch walk is **farthest away**
+    (Belady order, fed by the epoch iterators via :meth:`_set_upcoming`),
+    so a walk that doesn't fit re-uploads only the overflow instead of
+    thrashing every chunk the way FIFO does on a cyclic scan.  Passing
+    ``store_dtype='bfloat16'`` halves the working set (upload bytes and
+    HBM) — gathered batches are cast back to f32 on device, a per-batch
+    rounding of the *inputs* only.  Where memory stats are unavailable
+    (CPU test meshes) the policy falls back to a 2-chunk count cap;
+    passing ``max_resident=N`` forces a count cap.
+
+    ``stats`` counts uploads/bytes/seconds since construction (and
+    ``wait_s`` the main thread spent blocked on uploads); the Trainer
+    snapshots it per epoch to attribute epoch wall-clock (VERDICT r3 #1).
     """
 
     def __init__(
@@ -70,7 +82,8 @@ class DeviceChunkStore:
         sharding=None,
         max_resident: Optional[int] = None,
         prefetch: bool = True,
-        budget_frac: float = 0.5,
+        budget_frac: float = 0.75,
+        store_dtype: str = "float32",
     ):
         self.dataset = dataset
         if feature is None and not dataset.features_to_load:
@@ -85,6 +98,16 @@ class DeviceChunkStore:
         self.win_bucket = win_bucket
         self.sharding = sharding
         self.prefetch = prefetch
+        self.store_dtype = jnp.dtype(store_dtype)
+        if self.store_dtype not in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)
+        ):
+            raise ValueError(
+                f"store_dtype must be float32 or bfloat16, got {store_dtype}"
+            )
+        self.stats = {
+            "uploads": 0, "upload_bytes": 0, "upload_s": 0.0, "wait_s": 0.0,
+        }
         self.budget_bytes: Optional[int] = None
         if max_resident is None:
             self.budget_bytes = self._auto_budget(budget_frac)
@@ -102,9 +125,21 @@ class DeviceChunkStore:
         self._lock = threading.Lock()
         self._pool: Optional[ThreadPoolExecutor] = None
         self._in_use: Optional[str] = None
+        # epoch-walk lookahead for Belady eviction: key -> steps until next
+        # use (smaller = needed sooner).  Updated by the epoch iterators.
+        self._upcoming: Dict[str, int] = {}
+
+    def snapshot_stats(self) -> Dict[str, float]:
+        with self._lock:
+            return dict(self.stats)
+
+    def _set_upcoming(self, keys_ahead) -> None:
+        with self._lock:
+            self._upcoming = {k: i for i, k in enumerate(keys_ahead)}
 
     def _auto_budget(self, frac: float) -> Optional[int]:
-        """Half the device's currently-free memory, or None if unknowable."""
+        """``frac`` of the device's currently-free memory (default 75%),
+        or None if unknowable."""
         try:
             if self.sharding is not None:
                 dev = next(iter(self.sharding.device_set))
@@ -124,9 +159,10 @@ class DeviceChunkStore:
         n_subs, n_win = eeg.shape[0], eeg.shape[1]
         ps = _bucket(n_subs, self.subs_bucket)
         pw = _bucket(n_win, self.win_bucket)
-        eeg_p = np.zeros((ps, pw) + eeg.shape[2:], np.float32)
+        dt = self.store_dtype  # numpy handles ml_dtypes.bfloat16 natively
+        eeg_p = np.zeros((ps, pw) + eeg.shape[2:], dt)
         eeg_p[:n_subs, :n_win] = eeg
-        speech_p = np.zeros((pw,) + speech.shape[1:], np.float32)
+        speech_p = np.zeros((pw,) + speech.shape[1:], dt)
         speech_p[:n_win] = speech
         ids_p = np.zeros((pw,), np.int32)  # pad ids → bank row 0
         ids_p[:n_win] = ids
@@ -134,6 +170,7 @@ class DeviceChunkStore:
 
     def _insert(self, key: str) -> None:
         """Pad + upload ``key`` into the residency dict (any thread)."""
+        t0 = time.perf_counter()
         eeg, speech, ids, n_subs, n_win = self._pad_chunk(key)
         nbytes = eeg.nbytes + speech.nbytes + ids.nbytes
         put = (
@@ -142,7 +179,13 @@ class DeviceChunkStore:
             else jax.device_put
         )
         entry = (put(eeg), put(speech), put(ids), n_subs, n_win)
+        # device_put is async; block so upload_s measures the transfer and
+        # eviction below only drops chunks whose replacement has landed
+        jax.block_until_ready(entry[:3])
         with self._lock:
+            self.stats["uploads"] += 1
+            self.stats["upload_bytes"] += nbytes
+            self.stats["upload_s"] += time.perf_counter() - t0
             if key in self._resident:  # re-insert: replace, don't double-count
                 self._resident_bytes -= self._sizes.pop(key)
                 del self._resident[key]
@@ -159,21 +202,29 @@ class DeviceChunkStore:
                 )
 
             while self._resident and over_cap():
-                # evict oldest (insertion order) to bound HBM use — but
-                # never the chunk the training loop is currently consuming
+                # evict the chunk needed FARTHEST in the future (Belady,
+                # from the epoch iterator's lookahead; unknown next use =
+                # farthest) — FIFO on a cyclic epoch walk evicts exactly
+                # what is needed next and thrashes every chunk (VERDICT r3
+                # weak #3).  Never the chunk the loop is consuming.
                 evictable = [
                     k for k in self._resident if k != self._in_use
                 ]
                 if not evictable:
                     break
-                self._resident_bytes -= self._sizes.pop(evictable[0])
-                del self._resident[evictable[0]]
+                victim = max(
+                    evictable,
+                    key=lambda k: self._upcoming.get(k, 1 << 30),
+                )
+                self._resident_bytes -= self._sizes.pop(victim)
+                del self._resident[victim]
             self._resident[key] = entry
             self._sizes[key] = nbytes
             self._resident_bytes += nbytes
 
     def get(self, key: str):
         """Device-resident (eeg, speech, ids, n_subs, n_win) for a chunk."""
+        t0 = time.perf_counter()
         fut = self._futures.pop(key, None)
         if fut is not None:
             fut.result()  # re-raises background upload errors here
@@ -184,6 +235,8 @@ class DeviceChunkStore:
             self._insert(key)
             with self._lock:
                 entry = self._resident[key]
+        with self._lock:
+            self.stats["wait_s"] += time.perf_counter() - t0
         return entry
 
     def prefetch_key(self, key: str) -> None:
@@ -226,6 +279,7 @@ class DeviceChunkStore:
         rng = rng or self.dataset.rng
         keys = self._epoch_keys(rng, shuffle)
         for j, key in enumerate(keys):
+            self._set_upcoming(keys[j:])
             chunk = self.dataset.chunks[key]
             idx_per_batch, subs_per_batch = self.dataset.create_eeg_indices(
                 chunk["eeg"]
@@ -266,6 +320,7 @@ class DeviceChunkStore:
         rng = rng or self.dataset.rng
         keys = self._epoch_keys(rng, shuffle)
         for j, key in enumerate(keys):
+            self._set_upcoming(keys[j:])
             chunk = self.dataset.chunks[key]
             idx_m, subs_m = self.dataset.create_eeg_indices(chunk["eeg"])
             eeg_d, speech_d, ids_d, n_subs, _ = self.get(key)
@@ -296,12 +351,19 @@ def gather_batch(
     add_eeg: bool = False,
     partner: Optional[Array] = None,
 ) -> Dict[str, Array]:
-    """Device-side batch assembly (traced inside the train step)."""
+    """Device-side batch assembly (traced inside the train step).
+
+    Chunks stored in bf16 (``DeviceChunkStore(store_dtype='bfloat16')``)
+    are cast back to f32 *after* the row gather, so the cast costs one
+    batch — not one chunk — per step and everything downstream (augment,
+    encoders, loss) keeps its f32 numerics.
+    """
+    f32 = lambda x: x.astype(jnp.float32) if x.dtype != jnp.float32 else x
     batch = {
-        "eeg": eeg_chunk[subs, idx],
-        "speech": speech_chunk[idx],
+        "eeg": f32(eeg_chunk[subs, idx]),
+        "speech": f32(speech_chunk[idx]),
         "ids": ids_chunk[idx],
     }
     if add_eeg:
-        batch["partner_eeg"] = eeg_chunk[partner, idx]
+        batch["partner_eeg"] = f32(eeg_chunk[partner, idx])
     return batch

@@ -83,3 +83,21 @@ def test_cv_driver_parallel_folds(tmp_path):
         )
         assert "mm_accuracy_mean" in summary["folds"][fold]
     assert summary["mm_accuracy_mean_over_folds"] is not None
+
+    # each fold's results dir must be serving-loadable (VERDICT r3 #8):
+    # the per-fold checkpoints written by the fold-parallel trainer are
+    # real, complete run dirs, not just eval artifacts
+    import numpy as np
+
+    from transformer_clip_eeg_tpu.serve import InferenceSession
+
+    for fold in ("0", "1"):
+        sess = InferenceSession.from_results_dir(
+            os.path.join(results, f"fold_{fold}"), chunk=4
+        )
+        emb = sess.embed_eeg(
+            np.random.default_rng(0)
+            .standard_normal((2, 192, 64))
+            .astype(np.float32)
+        )
+        assert np.isfinite(np.asarray(emb)).all()

@@ -144,6 +144,7 @@ def regen_icassp_testset(
     n_subjects: int = 14,
     noise: float = 0.5,
     seed: int = 0,
+    trials: int = 8,
 ) -> Dict:
     """Regenerate ONLY the ``icassp/`` held-out eval tree of an existing
     fixture — e.g. with more subjects or a lower SNR (``noise`` is the EEG
@@ -162,6 +163,7 @@ def regen_icassp_testset(
     _make_icassp_testset(
         root, np.random.default_rng(seed + 1000), mix, speech_dim,
         window_length, n_subjects=n_subjects, meta=meta, noise=noise,
+        trials=trials,
     )
     return meta
 
@@ -175,6 +177,7 @@ def _make_icassp_testset(
     n_subjects: int,
     meta: Dict,
     noise: float = 0.5,
+    trials: int = 8,
 ):
     """ICASSP-2023 challenge test folders (match-mismatch + regression)."""
     mm_dir = os.path.join(root, "icassp", "TEST_task1_matchmismatch")
@@ -215,7 +218,7 @@ def _make_icassp_testset(
         sub = f"sub-9{si:02d}"
         mapping = {}
         labels = {}
-        for trial in range(8):
+        for trial in range(trials):
             key = f"{sub}_trial{trial}"
             match_idx, mismatch_idx = rng.choice(n_segments, 2, replace=False)
             label = int(rng.integers(0, 2))

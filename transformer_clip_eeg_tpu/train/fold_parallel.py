@@ -371,7 +371,10 @@ class FoldParallelTrainer:
             data_augmentation_probability=cfg.data_augmentation_percentage,
             seed=cfg.seed,
         )
-        self.store = DeviceChunkStore(self.dataset, sharding=store_sharding)
+        self.store = DeviceChunkStore(
+            self.dataset, sharding=store_sharding,
+            store_dtype=cfg.chunk_store_dtype,
+        )
         # one sampling stream per fold, mirroring each sequential run's
         # dataset rng; plus a shared stream for the chunk order and mixup
         self.fold_rngs = [np.random.default_rng(cfg.seed) for _ in folds]
@@ -736,12 +739,14 @@ class FoldParallelTrainer:
                 break
             warmup = epoch < cfg.warmup_epochs
             t0 = _time.time()
+            store_before = self.store.snapshot_stats()
             tr_sums, tr_counts = self._epoch(
                 self.train_stories, active, train=True, rng_key=rng_key,
                 warmup=warmup,
             )
             jax.block_until_ready(self.states.params)
             epoch_time = _time.time() - t0
+            store_after = self.store.snapshot_stats()
 
             # per-fold scheduler (ref :502-504)
             if cfg.lr_scheduler != "no":
@@ -775,6 +780,23 @@ class FoldParallelTrainer:
                 f"{np.array2string(tr_ce, precision=4)} val loss_ce "
                 f"{np.array2string(val_ce, precision=4)} "
                 f"({pairs / max(epoch_time, 1e-9):.0f} pairs/s aggregate)",
+                self.loss_file,
+            )
+            # chunk-store upload attribution, matching the sequential
+            # Trainer's per-epoch phase line (VERDICT r3 #1)
+            printf(
+                "epoch %d phases %s" % (epoch, json.dumps({
+                    "uploads": store_after["uploads"]
+                    - store_before["uploads"],
+                    "upload_gb": round(
+                        (store_after["upload_bytes"]
+                         - store_before["upload_bytes"]) / 2**30, 2),
+                    "upload_s": round(
+                        store_after["upload_s"]
+                        - store_before["upload_s"], 1),
+                    "upload_wait_s": round(
+                        store_after["wait_s"] - store_before["wait_s"], 1),
+                })),
                 self.loss_file,
             )
             history.append(

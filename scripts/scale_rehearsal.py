@@ -148,7 +148,8 @@ def stage_train(args) -> dict:
         "--number_of_training_subjects", str(args.train_subjects),
         "--skip_eval", "yes" if args.skip_eval else "no",
         "--batch_size", str(args.batch_size),
-        "--patience", "50",
+        "--patience", str(args.patience),
+        "--chunk_store_dtype", args.chunk_store_dtype,
     ] + MODEL_FLAGS)
     total_s = time.time() - t0
     run_dirs = sorted(os.listdir(results)) if os.path.isdir(results) else []
@@ -174,16 +175,20 @@ def stage_cv(args) -> dict:
     results = os.path.join(args.out, "cv_run")
     t0 = time.time()
     rc = cv_main([
-        "--folds", "0", "1", "--parallel", "yes",
+        "--folds", *[str(f) for f in args.folds], "--parallel", "yes",
         "--results_folder", results,
         "--data_dir", args.root, "--epochs", str(args.epochs),
         "--number_of_training_subjects", str(args.train_subjects),
         "--batch_size", str(args.batch_size),
-        "--skip_eval", "yes", "--patience", "50",
+        "--skip_eval", "yes" if args.skip_eval else "no",
+        "--patience", str(args.patience),
+        "--chunk_store_dtype", args.chunk_store_dtype,
     ] + MODEL_FLAGS)
     out = {
         "stage": "cv", "rc": rc, "total_s": round(time.time() - t0, 1),
-        "rss_gb": round(_rss_gb(), 2),
+        "rss_gb": round(_rss_gb(), 2), "folds": args.folds,
+        "chunk_store_dtype": args.chunk_store_dtype,
+        "eval": not args.skip_eval,
     }
     loss_txt = os.path.join(results, "loss.txt")
     if os.path.exists(loss_txt):
@@ -319,6 +324,10 @@ def main() -> int:
     ap.add_argument("--train_subjects", type=int, default=0,
                     help="0 = the dataset's n_subjects")
     ap.add_argument("--skip_eval", action="store_true")
+    ap.add_argument("--patience", type=int, default=50)
+    ap.add_argument("--chunk_store_dtype", type=str, default="float32")
+    ap.add_argument("--folds", type=int, nargs="+", default=[0, 1],
+                    help="folds for the cv stage")
     # shape overrides: stages that only touch a slice of the corpus (evict
     # ingests <=8 subjects) can run against a right-sized gen — full-size
     # stories/features/chunks without paying the 85-subject EEG volume
@@ -341,7 +350,10 @@ def main() -> int:
                "--root", args.root, "--out", args.out, "--stage", stage,
                "--epochs", str(args.epochs),
                "--batch_size", str(args.batch_size),
-               "--train_subjects", str(args.train_subjects)]
+               "--train_subjects", str(args.train_subjects),
+               "--patience", str(args.patience),
+               "--chunk_store_dtype", args.chunk_store_dtype,
+               "--folds", *[str(f) for f in args.folds]]
         for key in SHAPE:
             cmd += [f"--{key}", str(SHAPE[key])]
         if args.skip_eval:

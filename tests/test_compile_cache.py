@@ -38,6 +38,12 @@ def _restore_cache_config():
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", before_min
     )
+    # enable_compile_cache resets jax's latched cache singleton to pick up
+    # the test dir; reset again so the rest of the suite re-latches the
+    # restored (conftest-wide) dir instead of the deleted tmp dir
+    from jax.experimental.compilation_cache import compilation_cache as cc
+
+    cc.reset_cache()
 
 
 def test_enable_populates_cache_dir(tmp_path, _restore_cache_config,

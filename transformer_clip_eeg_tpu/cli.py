@@ -306,6 +306,8 @@ def main(argv=None) -> int:
     if args.skip_eval == "yes":
         return 0
 
+    if hasattr(trainer, "release_device_data"):
+        trainer.release_device_data()  # free chunk-store HBM for eval
     run_eval_suite(trainer, cfg, results_dir,
                    train_files, val_files, test_files,
                    train_audio, val_audio, test_audio)

@@ -67,6 +67,13 @@ def _run_parallel(folds: List[int], results_folder: str, passthrough,
         f"fold-parallel training done: best val loss_ce {out['best_loss']}"
     )
 
+    trainer.store.release()  # free chunk-store HBM for the eval suites
+    # per-fold eval suites re-ingest overlapping train/val/test splits —
+    # memoize raw file reads across folds (9 x ~8 GB of np.load otherwise)
+    from transformer_clip_eeg_tpu.data.dataset import set_ingest_file_cache
+
+    ingest_cache: Dict[str, object] = {}
+    set_ingest_file_cache(ingest_cache)
     fold_dirs: Dict[int, str] = {}
     for fold, d in zip(folds, out["fold_dirs"]):
         fold_dirs[fold] = d
@@ -77,13 +84,16 @@ def _run_parallel(folds: List[int], results_folder: str, passthrough,
             cfg.number_of_training_subjects, debug=cfg.is_debug,
         )
         shim = types.SimpleNamespace(
-            model=trainer.model, state=trainer.fold_state(fold)
+            model=trainer.model, state=trainer.fold_state(fold),
+            mesh=trainer.mesh,
         )
         fold_cfg = TrainConfig(**{**cfg.to_dict(), "run": fold})
         run_eval_suite(
             shim, fold_cfg, d,
             files[0], files[1], files[2], files[4], files[5], files[6],
         )
+    set_ingest_file_cache(None)
+    ingest_cache.clear()
     return fold_dirs
 
 

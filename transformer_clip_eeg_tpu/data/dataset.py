@@ -38,6 +38,31 @@ from transformer_clip_eeg_tpu.data.discovery import (
 from transformer_clip_eeg_tpu.ops.windowing import split_into_windows_np
 
 
+# Opt-in process-wide raw-file read cache for repeated ingests of the same
+# corpus (the CV driver's per-fold eval suites each re-ingest overlapping
+# train/val/test splits — 9 folds x ~8 GB of np.load at SparrKULee scale).
+# Keyed by path; values are the np.load result exactly.  None = disabled.
+_FILE_CACHE: Optional[dict] = None
+
+
+def set_ingest_file_cache(cache: Optional[dict]) -> None:
+    """Install (or clear, with ``None``) a dict used to memoize ``np.load``
+    during dataset ingest.  The caller owns the dict and its lifetime."""
+    global _FILE_CACHE
+    _FILE_CACHE = cache
+
+
+def _cached_load(path: str):
+    cache = _FILE_CACHE
+    if cache is None:
+        return np.load(path)
+    arr = cache.get(path)
+    if arr is None:
+        arr = np.load(path)
+        cache[path] = arr
+    return arr
+
+
 def batch_equalizer(data):
     """Classic match-mismatch batch construction (ref dataset_loader.py:12-65).
 
@@ -202,18 +227,18 @@ class EEGWindowDataset:
                 while next_submit < len(all_paths) and len(loaded) < ahead:
                     p = all_paths[next_submit]
                     next_submit += 1
-                    loaded[p] = pool.submit(np.load, p)
+                    loaded[p] = pool.submit(_cached_load, p)
 
             _fill()
 
             def read(path):
                 fut = loaded.pop(path, None)
-                out = fut.result() if fut is not None else np.load(path)
+                out = fut.result() if fut is not None else _cached_load(path)
                 _fill()
                 return out
         else:
             def read(path):
-                return np.load(path)
+                return _cached_load(path)
 
         for story, eeg_files in eeg_dict.items():
             audio_files = audio_dict.get(story, {})
@@ -267,15 +292,16 @@ class EEGWindowDataset:
                         )
                     elif piece.shape[0] > len_per_batch:
                         piece = piece[:len_per_batch, :]
-                    windows = split_into_windows_np(piece, wl)[None, :]
+                    windows = split_into_windows_np(piece, wl)
                     chunk = chunks[f"{story}_batch_{i}"]
-                    if "eeg" not in chunk:
-                        chunk["eeg"] = windows
-                    else:
-                        chunk["eeg"] = np.concatenate([chunk["eeg"], windows], axis=0)
+                    # accumulate per-subject window stacks and materialize
+                    # once below: appending via np.concatenate is O(n_subs²)
+                    # memcpy (ref dataset_loader.py:262-267 does exactly
+                    # that — ~newGB-scale copying per chunk at 85 subjects)
+                    chunk.setdefault("_eeg_parts", []).append(windows)
                     if "identifiers" not in chunk:
                         chunk["identifiers"] = [
-                            j + id_max + 1 for j in range(chunk["eeg"].shape[1])
+                            j + id_max + 1 for j in range(windows.shape[0])
                         ]
                         id_max = chunk["identifiers"][-1]
                     if "sub" not in chunk:
@@ -285,6 +311,12 @@ class EEGWindowDataset:
 
         if pool is not None:
             pool.shutdown(wait=True)  # ≤ `ahead` leftovers from skipped stories
+        for chunk in chunks.values():
+            parts = chunk.pop("_eeg_parts", None)
+            if parts is not None:
+                # one stack == the incremental concatenate's result (same
+                # order, same dtype promotion), without the O(n²) growth
+                chunk["eeg"] = np.stack(parts, axis=0)
         return chunks
 
     # -- sizing -------------------------------------------------------------

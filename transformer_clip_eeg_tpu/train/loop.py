@@ -371,6 +371,18 @@ class Trainer:
                 self.state = state
                 yield state, losses, batch["eeg"].shape[0]
 
+    def release_device_data(self) -> None:
+        """Drop all device-resident training chunks.  Called once training
+        is over, before the eval suite's embedding extraction, so the HBM
+        the chunk stores held (up to the full budget at SparrKULee scale)
+        is available to eval instead of pinned behind stale residency."""
+        for store in (
+            getattr(self, "chunk_store", None),
+            getattr(self, "val_chunk_store", None),
+        ):
+            if store is not None:
+                store.release()
+
     def fit(self) -> Dict[str, Any]:
         cfg = self.cfg
         # auto-resume (ref train_clip_final.py:443-449); a reference torch

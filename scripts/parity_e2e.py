@@ -147,7 +147,10 @@ def shared_flags(args, data_dir: str):
         "--shuffle", "yes",
         "--shuffle_percentage", "1.0",
         "--data_augmentation", "no",
-    ] + CONFIGS[args.config]
+    ] + (
+        ["--number_of_training_subjects", str(args.n_train_subjects)]
+        if args.n_train_subjects else []
+    ) + CONFIGS[args.config]
 
 
 def run_reference(rig_dir: str, data_dir: str, args, log_path: str) -> str:
@@ -240,12 +243,18 @@ def run_ours(workdir: str, data_dir: str, args, log_path: str) -> str:
     results_root = os.path.join(workdir, "ours_results")
     os.makedirs(results_root, exist_ok=True)
     before = set(os.listdir(results_root))
-    # force CPU (env JAX_PLATFORMS is not honored on this host; set config)
-    snippet = (
-        "import jax; jax.config.update('jax_platforms', 'cpu'); "
-        "import sys; from transformer_clip_eeg_tpu.cli import main; "
-        "sys.exit(main())"
-    )
+    if args.ours_platform == "cpu":
+        # force CPU (env JAX_PLATFORMS is not honored on this host; config)
+        snippet = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; from transformer_clip_eeg_tpu.cli import main; "
+            "sys.exit(main())"
+        )
+    else:  # the ambient platform (the real chip on this host)
+        snippet = (
+            "import sys; from transformer_clip_eeg_tpu.cli import main; "
+            "sys.exit(main())"
+        )
     cmd = [sys.executable, "-c", snippet] + shared_flags(args, data_dir) + [
         "--results_folder", results_root,
         # ours-only: the reference has no seed flag (it runs unseeded, so
@@ -254,7 +263,9 @@ def run_ours(workdir: str, data_dir: str, args, log_path: str) -> str:
     ]
     # the CLI makes env JAX_PLATFORMS authoritative (utils/platform.py), so
     # the inherited axon preset must be overridden here too
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ)
+    if args.ours_platform == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
     with open(log_path, "w") as log:
         t0 = time.time()
         rc = subprocess.call(
@@ -270,6 +281,24 @@ def run_ours(workdir: str, data_dir: str, args, log_path: str) -> str:
 
 def collect(results_dir: str) -> dict:
     out = {"results_dir": results_dir}
+    # loss-descent trajectory: both drivers write the identical
+    # 'validation epoch E: mean loss ce : V, ...' lines to loss.txt
+    # (ref train_clip_final.py:529 / train/loop.py:531)
+    loss_txt = os.path.join(results_dir, "loss.txt")
+    if os.path.exists(loss_txt):
+        val_ce = []
+        with open(loss_txt) as f:
+            for line in f:
+                if line.startswith("validation epoch"):
+                    try:
+                        val_ce.append(
+                            float(line.split("mean loss ce :")[1]
+                                  .split(",")[0])
+                        )
+                    except (IndexError, ValueError):
+                        pass
+        if val_ce:
+            out["val_ce_per_epoch"] = val_ce
     mm = os.path.join(results_dir, "evaluation_challenge_set_2023_mm.json")
     if os.path.exists(mm):
         with open(mm) as f:
@@ -317,19 +346,46 @@ def main(argv=None) -> int:
     ap.add_argument("--config", default="wav2vec", choices=sorted(CONFIGS))
     ap.add_argument("--skip_reference", default="no", choices=["yes", "no"])
     ap.add_argument("--skip_ours", default="no", choices=["yes", "no"])
+    ap.add_argument("--data_dir", default="",
+                    help="use an existing corpus root (e.g. the 20 GB scale "
+                         "rehearsal corpus) instead of generating a fixture "
+                         "— the flagship-shape parity run (VERDICT r3 #5)")
+    ap.add_argument("--n_train_subjects", type=int, default=0,
+                    help="pass --number_of_training_subjects to BOTH "
+                         "drivers: slices the corpus to the first N train "
+                         "subjects so the reference's eager CPU ingest and "
+                         "epoch stay tractable at flagship shape")
+    ap.add_argument("--ours_platform", default="cpu",
+                    choices=["cpu", "ambient"],
+                    help="'ambient' runs our side on the host's default "
+                         "platform (the real TPU here) instead of CPU")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the summary file so shape variants "
+                         "(e.g. flagship) don't merge into the depth-2 "
+                         "summaries")
     args = ap.parse_args(argv)
 
     workdir = args.workdir
-    data_dir = os.path.join(workdir, "data")
+    data_dir = args.data_dir or os.path.join(workdir, "data")
     rig_dir = os.path.join(workdir, "rig")
     os.makedirs(workdir, exist_ok=True)
 
-    if not os.path.exists(os.path.join(data_dir, "fold_split.json")):
+    if args.data_dir:
+        # existing corpus: just make sure the reference can resolve the
+        # challenge sets next to it (train_clip_final.py:560,595)
+        link = os.path.join(
+            os.path.dirname(data_dir),
+            "ICASSP-2023-eeg-decoding-challenge-dataset",
+        )
+        if not os.path.exists(link):
+            os.symlink(os.path.join(data_dir, "icassp"), link)
+    elif not os.path.exists(os.path.join(data_dir, "fold_split.json")):
         print("building fixture ...")
         build_fixture(data_dir, args)
     build_rig(rig_dir, data_dir)
 
-    summary_path = os.path.join(workdir, f"summary_{args.config}.json")
+    tag = f"_{args.tag}" if args.tag else ""
+    summary_path = os.path.join(workdir, f"summary_{args.config}{tag}.json")
     summary = {"config": args.config}
     if os.path.exists(summary_path):
         with open(summary_path) as f:

@@ -306,8 +306,10 @@ def main(argv=None) -> int:
     if args.skip_eval == "yes":
         return 0
 
-    if hasattr(trainer, "release_device_data"):
-        trainer.release_device_data()  # free chunk-store HBM for eval
+    if hasattr(trainer, "release_host_data"):
+        # free chunk-store HBM AND the ingested datasets' host arrays for
+        # eval (the suite re-ingests its own splits)
+        trainer.release_host_data()
     run_eval_suite(trainer, cfg, results_dir,
                    train_files, val_files, test_files,
                    train_audio, val_audio, test_audio)
@@ -392,6 +394,14 @@ def run_eval_suite(
             json.dump(ev_sub, f)
     else:
         print("no ICASSP task-2 folder found, skipping challenge regression")
+
+    # an eval suite churns tens of GB of short-lived numpy arrays at
+    # SparrKULee scale; return the freed glibc heap to the OS so repeated
+    # suites (the 9-fold cv --parallel eval loop) don't stack retained
+    # RSS into a host OOM — measured 2026-08-21, see trim_host_heap
+    from transformer_clip_eeg_tpu.utils.platform import trim_host_heap
+
+    trim_host_heap()
 
 
 if __name__ == "__main__":

@@ -23,6 +23,8 @@ import os
 import sys
 from typing import Dict, List
 
+from transformer_clip_eeg_tpu.utils.platform import trim_host_heap
+
 
 def _run_parallel(folds: List[int], results_folder: str, passthrough,
                   fold_group_size=None) -> Dict[int, str]:
@@ -67,7 +69,11 @@ def _run_parallel(folds: List[int], results_folder: str, passthrough,
         f"fold-parallel training done: best val loss_ce {out['best_loss']}"
     )
 
-    trainer.store.release()  # free chunk-store HBM for the eval suites
+    # free chunk-store HBM and the ~18 GB union dataset's host arrays for
+    # the eval suites (each fold re-ingests its own splits; keeping the
+    # union resident under nine suites OOM-killed the 2026-08-21 full-scale
+    # run on a 125 GB host)
+    trainer.release_host_data()
     # per-fold eval suites re-ingest overlapping train/val/test splits —
     # memoize raw file reads across folds (9 x ~8 GB of np.load otherwise)
     from transformer_clip_eeg_tpu.data.dataset import set_ingest_file_cache
@@ -94,6 +100,7 @@ def _run_parallel(folds: List[int], results_folder: str, passthrough,
         )
     set_ingest_file_cache(None)
     ingest_cache.clear()
+    trim_host_heap()
     return fold_dirs
 
 

@@ -852,3 +852,17 @@ class FoldParallelTrainer:
         """Unstacked best :class:`TrainState` for one fold."""
         j = self.folds.index(fold)
         return jax.tree.map(lambda x: x[j], self.best_states)
+
+    def release_host_data(self) -> None:
+        """Free the union dataset's host arrays (and the chunk store's HBM
+        residents) once training is over.  The per-fold eval suites
+        re-ingest their own splits, so keeping the ~18 GB union resident
+        through nine suites only stacks RSS toward the host OOM the
+        2026-08-21 full-scale run hit.  ``fold_state``/checkpoints stay
+        valid — they only reference device-side state."""
+        if self.store is not None:
+            self.store.release()
+            self.store = None
+        if self.dataset is not None:
+            self.dataset.chunks.clear()
+            self.dataset = None

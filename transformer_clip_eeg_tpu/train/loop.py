@@ -383,6 +383,18 @@ class Trainer:
             if store is not None:
                 store.release()
 
+    def release_host_data(self) -> None:
+        """Additionally free the ingested datasets' host arrays (the eval
+        suite re-ingests its own splits; at SparrKULee scale the training
+        datasets are ~15 GB of host RSS that would otherwise sit under the
+        whole eval phase — see utils.platform.trim_host_heap)."""
+        self.release_device_data()
+        for ds in (self.train_dataset, self.val_dataset):
+            if ds is not None and hasattr(ds, "chunks"):
+                ds.chunks.clear()
+        self.train_dataset = None
+        self.val_dataset = None
+
     def fit(self) -> Dict[str, Any]:
         cfg = self.cfg
         # auto-resume (ref train_clip_final.py:443-449); a reference torch

@@ -133,3 +133,24 @@ def enable_compile_cache(
         _cc.reset_cache()
     except Exception:
         pass
+
+
+def trim_host_heap() -> None:
+    """Return freed glibc heap pages to the OS (``malloc_trim``).
+
+    The per-fold evaluation suites allocate/free many ~10 MB numpy arrays
+    (per-recording EEG, windowed copies); glibc's dynamic mmap threshold
+    promotes these to the sbrk heap, where freed pages are retained by the
+    allocator instead of returned.  Across a 9-fold ``cv --parallel`` eval
+    pass on the 20 GB rehearsal corpus this retention alone grew RSS from
+    ~50 GB to >110 GB and got the process OOM-killed on a 125 GB host
+    (measured 2026-08-21, dmesg oom-kill of the fold-5 eval).  A trim after
+    each fold's suite keeps RSS at the true working set.  No-op on
+    non-glibc platforms.
+    """
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass

@@ -49,7 +49,12 @@ if SMOKE:
     )
     LAYERS = [1]
 else:
-    N_STORIES, STORY_MIN = 50, 15.0
+    # story count overridable (W2V_STORIES) so a time-boxed session can
+    # still run the FULL XLSR-53 architecture at full story length on a
+    # smaller set; audio-s/s and the resume/bf16 checks are story-count
+    # independent
+    N_STORIES = int(os.environ.get("W2V_STORIES", "50"))
+    STORY_MIN = 15.0
     HF_KW = None  # full XLSR-53 shape from the default HF config below
     LAYERS = [19]
 

@@ -37,9 +37,13 @@ def measure(dtype_name: str = "float32") -> float:
     )
 
     cfg = Wav2Vec2Config()  # XLSR-53 large
-    model = Wav2Vec2Model(cfg, dtype=jnp.dtype(dtype_name))
+    # scan_layers: the production extraction path (preprocess/wav2vec.py
+    # default) — one nn.scan over stacked layer params, O(1) program size
+    # in depth; the unrolled 24-layer HLO timed out in remote compile
+    model = Wav2Vec2Model(cfg, dtype=jnp.dtype(dtype_name), scan_layers=True)
     variables = model.init(
-        jax.random.PRNGKey(0), np.zeros((1, 16000), np.float32)
+        jax.random.PRNGKey(0), np.zeros((1, 16000), np.float32),
+        tap_layer=TAP,
     )
     fwd = jax.jit(lambda v, a: model.apply(v, a, tap_layer=TAP).sum())
 

@@ -73,14 +73,34 @@ def _emit(out_dir: str, record: dict) -> None:
 
 
 def stage_gen(args) -> dict:
-    from transformer_clip_eeg_tpu.data.fixtures import make_fixture
+    from transformer_clip_eeg_tpu.data.fixtures import (
+        make_fixture,
+        regen_icassp_testset,
+    )
 
     marker = os.path.join(args.root, ".scale_generated.json")
     if os.path.exists(marker):
         with open(marker) as f:
             return {"stage": "gen", "skipped": True, **json.load(f)}
     t0 = time.time()
-    make_fixture(args.root, **SHAPE)
+    shape = dict(SHAPE)
+    if args.env_decodable:
+        # positive-control corpus (VERDICT r4 #1b): the envelope is
+        # linearly present in speech channel 0 AND the EEG mix, so the
+        # regression suite must produce materially-positive Pearson
+        shape["env_decodable"] = True
+        shape["env_gain"] = args.env_gain
+    make_fixture(args.root, **shape)
+    if args.mm_subjects or args.mm_noise:
+        # non-saturating held-out MM eval set (round-4 recipe: 14 subjects,
+        # noise std 12 against the unit-variance projected-speech signal,
+        # 64 trials/subject — calibrated mid-range, SCALE.md)
+        regen_icassp_testset(
+            args.root, speech_dim=shape["speech_dim"],
+            n_subjects=args.mm_subjects or 14, noise=args.mm_noise or 12.0,
+            trials=args.mm_trials, env_decodable=args.env_decodable,
+            env_gain=args.env_gain,
+        )
     gen_s = time.time() - t0
     du = subprocess.run(
         ["du", "-sb", args.root], capture_output=True, text=True
@@ -326,6 +346,22 @@ def main() -> int:
     ap.add_argument("--skip_eval", action="store_true")
     ap.add_argument("--patience", type=int, default=50)
     ap.add_argument("--chunk_store_dtype", type=str, default="float32")
+    ap.add_argument("--env_decodable", action="store_true",
+                    help="generate the envelope-decodable positive-control "
+                         "corpus (VERDICT r4 #1b)")
+    ap.add_argument("--env_gain", type=float, default=4.0,
+                    help="per-channel strength of the envelope direction "
+                         "in the EEG mix (4.0 ≈ 20%% of per-channel "
+                         "variance at the 1024-dim scale shape — strong "
+                         "enough that an 8-dim contrastive embedding "
+                         "retains it)")
+    ap.add_argument("--mm_subjects", type=int, default=0,
+                    help="regenerate the held-out ICASSP MM set with this "
+                         "many subjects (0 = keep make_fixture's default)")
+    ap.add_argument("--mm_noise", type=float, default=0.0,
+                    help="EEG noise std for the regenerated MM set "
+                         "(round-4 calibration: 12)")
+    ap.add_argument("--mm_trials", type=int, default=64)
     ap.add_argument("--folds", type=int, nargs="+", default=[0, 1],
                     help="folds for the cv stage")
     # shape overrides: stages that only touch a slice of the corpus (evict

@@ -142,25 +142,34 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="jax PRNG for dropout/augmentation streams; rbg is "
                         "+16-20%% step throughput, threefry2x32 restores "
                         "jax-default bit-reproducibility")
-    p.add_argument("--compile_cache_dir", type=str, default="",
+    p.add_argument("--loss_log_stream", type=str, default="epoch",
+                   choices=["epoch", "batch"],
+                   help="per-100-batch loss lines: 'epoch' defers the "
+                        "device fetch to end of epoch (no mid-epoch sync; "
+                        "default), 'batch' streams live")
+    p.add_argument("--compile_cache_dir", type=str, default="auto",
                    help="persistent XLA compilation cache; restarts / "
                         "--only_evaluate / serving deserialize compiled "
                         "programs instead of recompiling (~20-40s saved "
-                        "per process on TPU)")
+                        "per process on TPU).  'auto' (default) = a "
+                        "jit_cache/ sibling of the run dir; '' disables")
     return p
 
 
 def find_icassp_folder(data_dir: str, task: str) -> Optional[str]:
     """The reference expects the challenge set next to the data dir
-    (ref :561-562); fixtures put it under ``<data_dir>/icassp``.  Return the
-    first that exists."""
+    (ref :561-562); fixtures put it under ``<data_dir>/icassp``.  The
+    dataset-local tree wins: a stray sibling
+    ``ICASSP-2023-eeg-decoding-challenge-dataset`` from another corpus
+    (e.g. two fixtures sharing /tmp) must not shadow the fixture's own
+    eval set — its feature dims may not even match the trained model."""
     candidates = [
+        os.path.join(data_dir, "icassp", task),
         os.path.join(
             os.path.dirname(data_dir),
             "ICASSP-2023-eeg-decoding-challenge-dataset",
             task,
         ),
-        os.path.join(data_dir, "icassp", task),
     ]
     for c in candidates:
         if os.path.isdir(c):

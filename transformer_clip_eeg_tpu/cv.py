@@ -81,26 +81,58 @@ def _run_parallel(folds: List[int], results_folder: str, passthrough,
     ingest_cache: Dict[str, object] = {}
     set_ingest_file_cache(ingest_cache)
     fold_dirs: Dict[int, str] = {}
-    for fold, d in zip(folds, out["fold_dirs"]):
-        fold_dirs[fold] = d
-        if targs.skip_eval == "yes":
-            continue
-        files = get_train_val_test_files_final(
-            cfg.data_dir, fold, cfg.stimulus_features, cfg.fold_split_path,
-            cfg.number_of_training_subjects, debug=cfg.is_debug,
-        )
-        shim = types.SimpleNamespace(
-            model=trainer.model, state=trainer.fold_state(fold),
-            mesh=trainer.mesh,
-        )
-        fold_cfg = TrainConfig(**{**cfg.to_dict(), "run": fold})
-        run_eval_suite(
-            shim, fold_cfg, d,
-            files[0], files[1], files[2], files[4], files[5], files[6],
-        )
-    set_ingest_file_cache(None)
-    ingest_cache.clear()
-    trim_host_heap()
+    # try/finally: a raising eval suite must not leave the unbounded
+    # whole-corpus cache installed in dataset._FILE_CACHE (GBs pinned) or
+    # skip the trailing heap trim (ADVICE r4)
+    try:
+        for fold, d in zip(folds, out["fold_dirs"]):
+            fold_dirs[fold] = d
+            if targs.skip_eval == "yes":
+                continue
+            files = get_train_val_test_files_final(
+                cfg.data_dir, fold, cfg.stimulus_features,
+                cfg.fold_split_path,
+                cfg.number_of_training_subjects, debug=cfg.is_debug,
+            )
+            shim = types.SimpleNamespace(
+                model=trainer.model, state=trainer.fold_state(fold),
+                mesh=trainer.mesh,
+            )
+            fold_cfg = TrainConfig(**{**cfg.to_dict(), "run": fold})
+            run_eval_suite(
+                shim, fold_cfg, d,
+                files[0], files[1], files[2], files[4], files[5], files[6],
+            )
+            # bound the retained heap across the 9-suite loop: when
+            # residency crosses half the host, release the cached probe
+            # programs + every jitted executable and trim again (costs the
+            # next suite a re-trace — seconds against a suite's minutes;
+            # without a bound the per-suite retention stacked to an OOM
+            # kill at fold 5 on the 20 GB corpus, SCALE.md r4)
+            from transformer_clip_eeg_tpu.eval.regression import (
+                release_probe_programs,
+            )
+            from transformer_clip_eeg_tpu.utils.platform import (
+                host_mem_total_gb, host_rss_gb,
+            )
+
+            rss, total = host_rss_gb(), host_mem_total_gb()
+            if total and rss > 0.5 * total:
+                print(
+                    f"cv eval loop: host RSS {rss:.1f} GB > 50% of "
+                    f"{total:.1f} GB — releasing cached programs",
+                    flush=True,
+                )
+                release_probe_programs()
+                trim_host_heap()
+                print(
+                    f"cv eval loop: RSS after release {host_rss_gb():.1f} "
+                    "GB", flush=True,
+                )
+    finally:
+        set_ingest_file_cache(None)
+        ingest_cache.clear()
+        trim_host_heap()
     return fold_dirs
 
 

@@ -32,6 +32,20 @@ import numpy as np
 FS = 64
 
 
+def _smooth_env(rng: np.random.Generator, t: int) -> np.ndarray:
+    """A slowly-varying positive 'speech envelope': rectified moving-average
+    noise (cutoff ~2 Hz at 64 Hz fs) — smooth enough that windowing /
+    nearest-neighbor stride compensation preserve its correlation."""
+    z = rng.standard_normal(t + 64).astype(np.float32)
+    kernel = np.hanning(65).astype(np.float32)
+    e = np.convolve(z, kernel / kernel.sum(), mode="valid")[:t]
+    return (np.abs(e) + 0.05).astype(np.float32)
+
+
+def _standardize(x: np.ndarray) -> np.ndarray:
+    return ((x - x.mean()) / (x.std() + 1e-8)).astype(np.float32)
+
+
 def make_fixture(
     root: str,
     n_stories: int = 4,
@@ -45,6 +59,8 @@ def make_fixture(
     stories_per_subject: Optional[int] = None,
     mm_subjects: int = 2,
     mm_noise: float = 0.5,
+    env_decodable: bool = False,
+    env_gain: float = 1.0,
 ) -> Dict:
     """Create the fixture tree under ``root``; returns metadata.
 
@@ -55,6 +71,17 @@ def make_fixture(
     stories (the real SparrKULee shape — subjects hear ~8-10 of the
     stimuli, so chunks have ragged subject counts); ``None`` = every
     subject hears every story (the small-test default).
+
+    ``env_decodable``: positive control for the envelope-regression suite
+    (VERDICT r4 #1b).  By default the saved env is ``|speech[:, 0]|`` — a
+    *nonlinear* function of what the EEG linearly encodes, so every probe
+    ever trained on the default fixture sat at Pearson ≈ 0.  With
+    ``env_decodable=True`` the env becomes a smooth positive signal whose
+    standardized form (a) replaces speech channel 0 (so contrastive
+    training has incentive to keep it in the EEG embedding) and (b) is
+    injected directly into the EEG mix with per-channel strength
+    ``env_gain`` (so the envelope is linearly present in the raw EEG) —
+    a correct regression suite MUST now reach materially-positive Pearson.
     """
     rng = np.random.default_rng(seed)
     eeg_dir = os.path.join(root, "derivatives", "preprocessed_eeg")
@@ -99,12 +126,22 @@ def make_fixture(
     mix = rng.standard_normal((speech_dim, 64)).astype(np.float32) / np.sqrt(
         speech_dim
     )
+    # fixed EEG direction carrying the envelope in env_decodable mode (drawn
+    # whether or not the mode is on, to keep the rng stream position stable
+    # across the flag for everything drawn after it)
+    env_direction = rng.standard_normal(64).astype(np.float32)
     story_speech = {}
+    story_env_std = {}
     for story in stories:
         speech = rng.standard_normal((t, speech_dim)).astype(np.float32)
+        if env_decodable:
+            env = _smooth_env(rng, t)[:, None]
+            speech[:, 0] = _standardize(env[:, 0])
+        else:
+            env = np.abs(speech[:, :1])
         story_speech[story] = speech
+        story_env_std[story] = _standardize(env[:, 0])
         np.save(os.path.join(stim_dir, f"{story}_-_wav2vec_19.npy"), speech)
-        env = np.abs(speech[:, :1])
         np.save(os.path.join(stim_dir, f"{story}_-_env.npy"), env[None, :, :])
         mel = np.abs(speech[:, : min(28, speech_dim)])
         if mel.shape[1] < 28:
@@ -117,6 +154,10 @@ def make_fixture(
             noise = rng.standard_normal((t, 64)).astype(np.float32)
             if correlated:
                 eeg = story_speech[story] @ mix + 0.5 * noise
+                if env_decodable:
+                    eeg = eeg + env_gain * np.outer(
+                        story_env_std[story], env_direction / 8.0
+                    )
             else:
                 eeg = noise
             name = f"{sub}_task-listening_-audio-{story}_eeg.npy"
@@ -132,7 +173,8 @@ def make_fixture(
     }
     _make_icassp_testset(
         root, rng, mix, speech_dim, window_length, n_subjects=mm_subjects,
-        meta=meta, noise=mm_noise,
+        meta=meta, noise=mm_noise, env_decodable=env_decodable,
+        env_gain=env_gain, env_direction=env_direction,
     )
     return meta
 
@@ -145,6 +187,8 @@ def regen_icassp_testset(
     noise: float = 0.5,
     seed: int = 0,
     trials: int = 8,
+    env_decodable: bool = False,
+    env_gain: float = 1.0,
 ) -> Dict:
     """Regenerate ONLY the ``icassp/`` held-out eval tree of an existing
     fixture — e.g. with more subjects or a lower SNR (``noise`` is the EEG
@@ -159,11 +203,15 @@ def regen_icassp_testset(
     mix = rng.standard_normal((speech_dim, 64)).astype(np.float32) / np.sqrt(
         speech_dim
     )
+    # reproduce the fixture's env_direction (its second rng draw — see
+    # make_fixture) so env_decodable corpora regen with matching EEG physics
+    env_direction = rng.standard_normal(64).astype(np.float32)
     meta: Dict = {"root": root}
     _make_icassp_testset(
         root, np.random.default_rng(seed + 1000), mix, speech_dim,
         window_length, n_subjects=n_subjects, meta=meta, noise=noise,
-        trials=trials,
+        trials=trials, env_decodable=env_decodable, env_gain=env_gain,
+        env_direction=env_direction,
     )
     return meta
 
@@ -178,6 +226,9 @@ def _make_icassp_testset(
     meta: Dict,
     noise: float = 0.5,
     trials: int = 8,
+    env_decodable: bool = False,
+    env_gain: float = 1.0,
+    env_direction: Optional[np.ndarray] = None,
 ):
     """ICASSP-2023 challenge test folders (match-mismatch + regression)."""
     mm_dir = os.path.join(root, "icassp", "TEST_task1_matchmismatch")
@@ -193,6 +244,11 @@ def _make_icassp_testset(
         k: rng.standard_normal((window_length, speech_dim)).astype(np.float32)
         for k in seg_keys
     }
+    if env_decodable:
+        # keep the eval segments distributionally consistent with the
+        # training stories: channel 0 is a standardized smooth envelope
+        for k in seg_keys:
+            segments[k][:, 0] = _standardize(_smooth_env(rng, window_length))
     with open(os.path.join(seg_dir, "teststory_-_wav2vec_19.pkl"), "wb") as f:
         pickle.dump(segments, f)
     # mel/env candidate sets for the same segments (the MM eval globs
@@ -227,9 +283,13 @@ def _make_icassp_testset(
                 if label == 0
                 else [seg_keys[mismatch_idx], seg_keys[match_idx]]
             )
+            eeg = segments[seg_keys[match_idx]] @ mix
+            if env_decodable:
+                eeg = eeg + env_gain * np.outer(
+                    segments[seg_keys[match_idx]][:, 0], env_direction / 8.0
+                )
             eeg = (
-                segments[seg_keys[match_idx]] @ mix
-                + noise * rng.standard_normal((window_length, 64))
+                eeg + noise * rng.standard_normal((window_length, 64))
             ).astype(np.float32)
             mapping[key] = [eeg.tolist(), cand[0] + ".npy", cand[1] + ".npy"]
             labels[key] = label
@@ -250,11 +310,22 @@ def _make_icassp_testset(
         for trial in range(3):
             key = f"{sub}_reg_trial{trial}"
             speech = rng.standard_normal((t_trial, speech_dim)).astype(np.float32)
-            eeg = (
-                speech @ mix + noise * rng.standard_normal((t_trial, 64))
-            ).astype(np.float32)
+            if env_decodable:
+                env_trial = _smooth_env(rng, t_trial)
+                env_std = _standardize(env_trial)
+                speech[:, 0] = env_std
+                eeg = (
+                    speech @ mix
+                    + env_gain * np.outer(env_std, env_direction / 8.0)
+                    + noise * rng.standard_normal((t_trial, 64))
+                ).astype(np.float32)
+                labels[key] = [env_trial.tolist()]
+            else:
+                eeg = (
+                    speech @ mix + noise * rng.standard_normal((t_trial, 64))
+                ).astype(np.float32)
+                labels[key] = [np.abs(speech[:, 0]).tolist()]
             mapping[key] = eeg.tolist()
-            labels[key] = [np.abs(speech[:, 0]).tolist()]
         with open(os.path.join(reg_dir, f"{sub}.json"), "w") as f:
             json.dump(mapping, f)
         with open(os.path.join(reg_lab_dir, f"{sub}_labels.json"), "w") as f:

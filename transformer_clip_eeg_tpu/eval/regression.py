@@ -184,6 +184,24 @@ def _cached_extract(
 # ---------------------------------------------------------------------------
 
 
+def release_probe_programs() -> None:
+    """Drop the cached probe-trainer programs (and every jitted executable
+    they pin) so a long-running eval process can bound its retained heap.
+
+    The two ``lru_cache``'d program builders below keep jitted closures
+    alive for the life of the process; each closure's jit cache pins its
+    compiled executables and their host-side buffers.  Across many
+    eval suites with varying shapes that retention stacks (SCALE.md r4:
+    ~58 GB stayed live between suites).  Clearing costs the next suite a
+    re-trace/re-compile of the probe programs — seconds against a
+    multi-hundred-second suite — and ``jax.clear_caches()`` sweeps any
+    other shape-keyed executables (embedding extraction, MM eval) too.
+    """
+    _sequential_probe_program.cache_clear()
+    _batched_probe_program.cache_clear()
+    jax.clear_caches()
+
+
 @functools.lru_cache(maxsize=8)
 def _sequential_probe_program(out_dim: int, lr: float):
     """(model, tx, step, val_loss) for the sequential probe trainer, cached

@@ -193,15 +193,40 @@ class EncoderLayerStableLayerNorm(nn.Module):
         return residual + h
 
 
+class _EncoderLayerScanBody(nn.Module):
+    """Carry adapter so ``nn.scan`` can drive the pre-LN layer."""
+
+    config: Wav2Vec2Config
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry: Array, _xs) -> Tuple[Array, None]:
+        out = EncoderLayerStableLayerNorm(
+            self.config, dtype=self.dtype, name="layer"
+        )(carry)
+        return out, None
+
+
 class Wav2Vec2Encoder(nn.Module):
     """Transformer stack with tap-layer early exit.
 
     ``tap_layer=i`` returns HF ``hidden_states[i]``: the raw output of layer
     ``i`` (``i=0`` → the post-positional-conv input; ``i=num_layers`` → the
-    final, post-``encoder.layer_norm`` output)."""
+    final, post-``encoder.layer_norm`` output).
+
+    ``scan_layers=True`` runs the (identical-shape) layers as ONE
+    ``nn.scan`` over stacked parameters instead of ``n`` unrolled calls —
+    the XLA program is O(1) in depth, which cuts the 24-layer XLSR-53
+    compile from a >25-minute unrolled HLO (that a remote-compile
+    service times out on — measured, round 5) to seconds, at identical
+    numerics (``tests/test_wav2vec2.py::test_scan_layers_parity``).  In
+    scan mode the stacked ``layers_scan`` parameters' leading dim IS the
+    scanned depth — convert from the canonical unrolled layout with
+    :func:`stack_encoder_layers` (which slices to the tap layer)."""
 
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x: Array, tap_layer: Optional[int] = None) -> Array:
@@ -213,10 +238,20 @@ class Wav2Vec2Encoder(nn.Module):
         )(x)
         if tap == 0:
             return x
-        for i in range(min(tap, n)):
-            x = EncoderLayerStableLayerNorm(
-                cfg, dtype=self.dtype, name=f"layers_{i}"
-            )(x)
+        depth = min(tap, n)
+        if self.scan_layers:
+            scanned = nn.scan(
+                _EncoderLayerScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=depth,
+            )(cfg, dtype=self.dtype, name="layers_scan")
+            x, _ = scanned(x, None)
+        else:
+            for i in range(depth):
+                x = EncoderLayerStableLayerNorm(
+                    cfg, dtype=self.dtype, name=f"layers_{i}"
+                )(x)
         if tap >= n:
             x = nn.LayerNorm(
                 epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm"
@@ -225,10 +260,14 @@ class Wav2Vec2Encoder(nn.Module):
 
 
 class Wav2Vec2Model(nn.Module):
-    """Full base model: raw audio [B, T] → hidden states [B, frames, D]."""
+    """Full base model: raw audio [B, T] → hidden states [B, frames, D].
+
+    ``scan_layers``: see :class:`Wav2Vec2Encoder` — depth-independent
+    compile for the production extraction path."""
 
     config: Wav2Vec2Config
     dtype: Any = jnp.float32  # compute dtype; params stay f32
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, audio: Array, tap_layer: Optional[int] = None) -> Array:
@@ -239,9 +278,9 @@ class Wav2Vec2Model(nn.Module):
         h = FeatureProjection(cfg, dtype=self.dtype, name="feature_projection")(
             feats
         )
-        out = Wav2Vec2Encoder(cfg, dtype=self.dtype, name="encoder")(
-            h, tap_layer=tap_layer
-        )
+        out = Wav2Vec2Encoder(
+            cfg, dtype=self.dtype, scan_layers=self.scan_layers, name="encoder"
+        )(h, tap_layer=tap_layer)
         return out.astype(jnp.float32)
 
     def num_output_frames(self, n_samples: int) -> int:
@@ -254,6 +293,31 @@ class Wav2Vec2Model(nn.Module):
 # ---------------------------------------------------------------------------
 # HF torch → flax conversion
 # ---------------------------------------------------------------------------
+
+
+def stack_encoder_layers(variables: Dict[str, Any], tap_layer: Optional[int],
+                         num_layers: int) -> Dict[str, Any]:
+    """Unrolled param layout → ``scan_layers=True`` layout.
+
+    Takes the canonical variables (``encoder/layers_{i}`` — what
+    :func:`convert_hf_wav2vec2` and the checkpoints produce), stacks the
+    first ``min(tap_layer, num_layers)`` layers' params along a new leading
+    axis as ``encoder/layers_scan/layer``, and drops the unrolled entries.
+    The stacked leading dim is the scanned depth, so the tap-layer early
+    exit becomes a host-side slice instead of a traced bound."""
+    depth = num_layers if tap_layer is None else min(tap_layer, num_layers)
+    params = dict(variables["params"])
+    enc = dict(params["encoder"])
+    per_layer = [enc.pop(f"layers_{i}") for i in range(num_layers)]
+    # drop layers beyond the tap entirely (the reference computes and
+    # discards them, ref create_wav2vec.py:109-119; here they never enter
+    # the program)
+    stacked = jax.tree.map(
+        lambda *xs: np.stack(xs, axis=0), *per_layer[:depth]
+    )
+    enc["layers_scan"] = {"layer": stacked}
+    params["encoder"] = enc
+    return {**variables, "params": params}
 
 
 def _np(t) -> np.ndarray:

@@ -122,12 +122,21 @@ class TrainConfig:
     # here so the dataclass stays import-light; the coupling is pinned by
     # tests/test_prng_impl.py::test_default_prng_impl_is_shared).
     prng_impl: str = "rbg"
-    # persistent XLA compilation cache directory ("" = off).  First compile
-    # of the fused train step is ~20-40 s on TPU; with a cache dir every
-    # later process (CLI restart, --only_evaluate, serving) deserializes
-    # the executable instead of recompiling.  Safe to share between runs —
-    # entries are keyed by program + device fingerprint.
-    compile_cache_dir: str = ""
+    # per-100-batch loss lines (ref :494-500): "epoch" (default) holds the
+    # device loss scalars and writes identical lines once the epoch's
+    # compute drains — no mid-epoch host↔device sync (over a tunneled link
+    # those fetches serialized ~15 s of a ~12 s warm epoch, SCALE.md run B);
+    # "batch" streams each line live for interactive debugging.
+    loss_log_stream: str = "epoch"
+    # persistent XLA compilation cache directory.  First compile of the
+    # fused train step is ~20-40 s on TPU; with a cache dir every later
+    # process (CLI restart, --only_evaluate, serving) deserializes the
+    # executable instead of recompiling.  Safe to share between runs —
+    # entries are keyed by program + device fingerprint.  "auto" (default,
+    # VERDICT r4 #4a) = a ``jit_cache/`` sibling of the timestamped run
+    # dir, shared across runs under the same results folder; "" = off;
+    # a JAX_COMPILATION_CACHE_DIR env var wins over either.
+    compile_cache_dir: str = "auto"
 
     # -- derived ------------------------------------------------------------
 

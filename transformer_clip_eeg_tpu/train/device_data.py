@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import threading
 import time
+import weakref
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Dict, Iterator, Optional, Tuple
 
@@ -44,10 +45,6 @@ def _bucket(n: int, step: int) -> int:
 
 
 class DeviceChunkStore:
-    _ledger_lock = threading.Lock()
-    _ledger_resident = 0  # bytes resident across ALL stores in-process
-    _ledger_cap: Optional[int] = None
-
     """Pads, uploads, and iterates story chunks resident on device.
 
     With ``prefetch=True`` (default) the *next* chunk's pad + upload runs on
@@ -76,6 +73,18 @@ class DeviceChunkStore:
     ``wait_s`` the main thread spent blocked on uploads); the Trainer
     snapshots it per epoch to attribute epoch wall-clock (VERDICT r3 #1).
     """
+
+    # Process-wide residency ledger, keyed per DEVICE SET: several stores
+    # (train + val, fold-parallel + eval extraction) share one device and
+    # must cap their COMBINED residency; stores on different devices must
+    # not count against each other.  Entry: {"resident": bytes, "cap":
+    # bytes, "stores": live budgeted-store count}.  Each store's share is
+    # held in a mutable cell that a ``weakref.finalize`` releases if the
+    # store is dropped without ``release()`` (exception paths, repeated
+    # Trainer construction); an entry whose last store dies is removed,
+    # so the cap does not outlive the stores that justified it.
+    _ledger_lock = threading.Lock()
+    _ledger: Dict[tuple, Dict[str, int]] = {}
 
     def __init__(
         self,
@@ -123,14 +132,22 @@ class DeviceChunkStore:
             max_resident = max(max_resident, 2)
         self.max_resident = max_resident
         self._resident: Dict[str, Tuple] = {}
-        # process-wide residency ledger: several stores (train + val, or
-        # fold-parallel + eval extraction) share one device — cap their
-        # COMBINED residency at the device budget, not each at 75%
+        # this store's share of the per-device ledger lives in a plain dict
+        # cell so the weakref finalizer below can release it without
+        # keeping the store alive
+        self._ledger_cell = {"bytes": 0}
         if self.budget_bytes is not None:
+            key = self._device_key
             with DeviceChunkStore._ledger_lock:
-                DeviceChunkStore._ledger_cap = max(
-                    DeviceChunkStore._ledger_cap or 0, self.budget_bytes
+                entry = DeviceChunkStore._ledger.setdefault(
+                    key, {"resident": 0, "cap": 0, "stores": 0}
                 )
+                entry["cap"] = max(entry["cap"], self.budget_bytes)
+                entry["stores"] += 1
+            weakref.finalize(
+                self, DeviceChunkStore._ledger_drop_store,
+                key, self._ledger_cell,
+            )
         self._sizes: Dict[str, int] = {}
         self._resident_bytes = 0
         self._futures: Dict[str, Future] = {}
@@ -145,15 +162,38 @@ class DeviceChunkStore:
         with self._lock:
             return dict(self.stats)
 
-    @classmethod
-    def _ledger_add(cls, nbytes: int) -> None:
-        with cls._ledger_lock:
-            cls._ledger_resident += nbytes
+    def _ledger_add(self, nbytes: int) -> None:
+        with DeviceChunkStore._ledger_lock:
+            entry = DeviceChunkStore._ledger.get(self._device_key)
+            if entry is not None:
+                entry["resident"] += nbytes
+                self._ledger_cell["bytes"] += nbytes
+
+    def _ledger_sub(self, nbytes: int) -> None:
+        with DeviceChunkStore._ledger_lock:
+            entry = DeviceChunkStore._ledger.get(self._device_key)
+            if entry is not None:
+                entry["resident"] = max(0, entry["resident"] - nbytes)
+                self._ledger_cell["bytes"] = max(
+                    0, self._ledger_cell["bytes"] - nbytes
+                )
 
     @classmethod
-    def _ledger_sub(cls, nbytes: int) -> None:
+    def _ledger_drop_store(cls, key: tuple, cell: Dict[str, int]) -> None:
+        """weakref.finalize target: reclaim a dead store's resident bytes
+        (it may have been dropped without ``release()`` — exception paths,
+        repeated Trainer construction) and retire its store count; the
+        entry — including its only-grows cap — is removed once no budgeted
+        store on that device set remains."""
         with cls._ledger_lock:
-            cls._ledger_resident = max(0, cls._ledger_resident - nbytes)
+            entry = cls._ledger.get(key)
+            if entry is None:
+                return
+            entry["resident"] = max(0, entry["resident"] - cell["bytes"])
+            cell["bytes"] = 0
+            entry["stores"] -= 1
+            if entry["stores"] <= 0:
+                del cls._ledger[key]
 
     def release(self) -> None:
         """Drop every resident chunk (and its ledger share) so the device
@@ -177,26 +217,41 @@ class DeviceChunkStore:
             self._upcoming = {k: i for i, k in enumerate(keys_ahead)}
 
     # HBM per chip by device kind, for runtimes whose memory_stats() is
-    # unavailable (e.g. tunneled/proxy backends).  Substring-matched.
+    # unavailable (e.g. tunneled/proxy backends).  Substring-matched
+    # LONGEST PATTERN FIRST so e.g. 'v4 lite' (8 GB v4i) cannot be
+    # mis-sized by the bare 'v4' (32 GB) entry (ADVICE r4).
     _HBM_BY_KIND = {
-        "v5 lite": 16, "v5e": 16, "v6 lite": 32, "v6e": 32,
-        "v5p": 95, "v4": 32, "v3": 16, "v2": 8,
+        "v5 lite": 16, "v5e": 16, "v6 lite": 32, "v6e": 32, "v4 lite": 8,
+        "v4i": 8, "v5p": 95, "v4": 32, "v3": 16, "v2": 8,
     }
+
+    _device_key: tuple = ("unknown",)
 
     def _auto_budget(self, frac: float) -> Optional[int]:
         """``frac`` of the device's currently-free memory (default 75%),
-        or None if unknowable.
+        or None if unknowable.  Also records ``_device_key`` (sorted device
+        ids) for the per-device residency ledger.
 
         When the runtime does not expose ``memory_stats()`` (measured: the
         tunneled TPU backend — where the silent 2-chunk fallback caused
         every epoch to re-upload the full working set, the 34× warm-epoch
         gap of VERDICT r3 weak #3), fall back to the device kind's known
-        HBM size minus a 1 GiB runtime reserve."""
+        HBM size minus a fixed 1 GiB runtime reserve plus ``frac``
+        headroom.  Unlike the memory_stats() path this sizes from TOTAL
+        HBM, so the (1-frac) headroom — 4 GB at 16 GB HBM — must absorb
+        params/optimizer/activations too; at this workload's model scale
+        (~3.8 M params ≈ 61 MB of state) that is ample, but callers
+        running large models on stats-less backends should pass a lower
+        ``budget_frac`` (ADVICE r4)."""
         try:
             if self.sharding is not None:
-                dev = next(iter(self.sharding.device_set))
+                devs = sorted(self.sharding.device_set, key=lambda d: d.id)
             else:
-                dev = jax.devices()[0]
+                devs = [jax.devices()[0]]
+            dev = devs[0]
+            self._device_key = tuple(
+                (getattr(d, "platform", "?"), d.id) for d in devs
+            )
         except Exception:
             return None
         try:
@@ -207,8 +262,10 @@ class DeviceChunkStore:
             kind = getattr(dev, "device_kind", "") or ""
             if dev.platform != "tpu" and "TPU" not in kind:
                 return None  # CPU test meshes keep the small count cap
-            for pat, gb in self._HBM_BY_KIND.items():
-                if pat in kind.lower().replace("tpu ", ""):
+            norm = kind.lower().replace("tpu ", "")
+            for pat in sorted(self._HBM_BY_KIND, key=len, reverse=True):
+                if pat in norm:
+                    gb = self._HBM_BY_KIND[pat]
                     budget = int((gb - 1) * 2**30 * frac)
                     print(
                         f"DeviceChunkStore: memory_stats() unavailable; "
@@ -269,11 +326,19 @@ class DeviceChunkStore:
                     return False
                 if self._resident_bytes + nbytes > self.budget_bytes:
                     return True
-                # combined residency of ALL stores on this device
-                cap = DeviceChunkStore._ledger_cap
+                # combined residency of ALL stores on this device set.
+                # SOFT enforcement: each store can only evict its OWN
+                # chunks, so a store whose residency is empty (or whose
+                # only resident chunk is in use) still inserts while
+                # another store holds the whole cap — combined residency
+                # can overshoot the cap by up to one store's working
+                # chunk set.  That bounded overshoot is accepted; the
+                # budget_frac headroom absorbs it (ADVICE r4).
                 with DeviceChunkStore._ledger_lock:
-                    total = DeviceChunkStore._ledger_resident
-                return cap is not None and total + nbytes > cap
+                    entry = DeviceChunkStore._ledger.get(self._device_key)
+                    if entry is None:
+                        return False
+                    return entry["resident"] + nbytes > entry["cap"]
 
             if over_cap() and self.budget_bytes is not None and \
                     not getattr(self, "_evict_warned", False):

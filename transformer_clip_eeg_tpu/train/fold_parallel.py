@@ -321,7 +321,14 @@ class FoldParallelTrainer:
         )
 
         configure_prng_impl(cfg.prng_impl)  # before any PRNGKey below
-        enable_compile_cache(cfg.compile_cache_dir)  # before the first jit
+        # before the first jit; "auto" = jit_cache/ sibling of the fold
+        # run dirs (same contract as Trainer, VERDICT r4 #4a)
+        cache_dir = cfg.compile_cache_dir
+        if cache_dir == "auto":
+            cache_dir = os.path.join(
+                os.path.abspath(results_root), "jit_cache"
+            )
+        enable_compile_cache(cache_dir)
         self.cfg = cfg
         self.folds = list(folds)
         F = len(self.folds)

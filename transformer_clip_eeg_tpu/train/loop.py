@@ -153,8 +153,6 @@ class Trainer:
 
         # before any PRNGKey below (init, train rng) so they pick it up
         configure_prng_impl(config.prng_impl)
-        # before the first jit so the step programs hit/populate the cache
-        enable_compile_cache(config.compile_cache_dir)
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
         self.mesh = mesh
@@ -165,6 +163,18 @@ class Trainer:
         self.checkpoint_dir = os.path.join(self.results_dir, "checkpoints")
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         self.loss_file = os.path.join(self.results_dir, "loss.txt")
+        # before the first jit so the step programs hit/populate the cache;
+        # "auto" resolves to a jit_cache/ SIBLING of the timestamped run
+        # dir — shared by every run under the same results folder, so the
+        # second run (or the cv loop's next fold process, or a restart at
+        # scale) skips the ~20-40 s TPU compile (VERDICT r4 #4a)
+        cache_dir = config.compile_cache_dir
+        if cache_dir == "auto":
+            cache_dir = os.path.join(
+                os.path.dirname(os.path.abspath(self.results_dir)),
+                "jit_cache",
+            )
+        enable_compile_cache(cache_dir)
 
         cfg = config
         # memory-bank sizing (ref train_clip_final.py:367-372)
@@ -395,6 +405,24 @@ class Trainer:
         self.train_dataset = None
         self.val_dataset = None
 
+    def _format_loss_line(self, epoch: int, n_batches: int, losses) -> str:
+        """The reference's per-100-batch loss line (ref :494-500).  The
+        ``float()`` conversions block on the device queue — call only at a
+        point where that sync is intended (stream mode) or already paid
+        (end-of-epoch drain)."""
+        if self.cfg.is_kld:
+            return (
+                f"train epoch {epoch} batch {n_batches} loss_ce "
+                f"{float(losses['loss_ce'])} loss pmu2 "
+                f"{float(losses['log_pmu2'])}, log z2: "
+                f"{float(losses['kld_z2'])}"
+            )
+        return (
+            f"train epoch {epoch} batch {n_batches} loss_ce "
+            f"{float(losses['loss_ce'])} loss average eeg "
+            f"{float(losses['loss_avg'])}"
+        )
+
     def fit(self) -> Dict[str, Any]:
         cfg = self.cfg
         # auto-resume (ref train_clip_final.py:443-449); a reference torch
@@ -467,6 +495,17 @@ class Trainer:
             store_before = (
                 self.chunk_store.snapshot_stats() if self.device_data else None
             )
+            # the reference streams a loss line every 100 batches
+            # (ref :494-500).  Fetching each loss scalar mid-epoch blocks
+            # the host on the device queue — over a tunneled link that
+            # serialized ~15 s of an otherwise ~12 s warm epoch at
+            # SparrKULee scale (SCALE.md run B fetch_s; VERDICT r4 #4b).
+            # Default: hold the DEVICE scalars and write the identical
+            # lines once the epoch's compute has drained — same loss.txt
+            # content, zero mid-epoch sync points.  --loss_log_stream
+            # batch restores live streaming for interactive debugging.
+            stream_logs = cfg.loss_log_stream == "batch"
+            pending_logs: List[Tuple[int, Dict]] = []
             for item in self._train_batches(warmup):
                 # an item may cover several batches (the chunk-scan path
                 # yields a whole chunk with per-chunk mean losses); log at
@@ -474,27 +513,24 @@ class Trainer:
                 self.state, losses, pairs = item
                 if n_batches >= next_log:
                     next_log = n_batches - (n_batches % 100) + 100
-                    tf = time.perf_counter()
-                    if cfg.is_kld:
-                        msg = (
-                            f"train epoch {epoch} batch {n_batches} loss_ce "
-                            f"{float(losses['loss_ce'])} loss pmu2 "
-                            f"{float(losses['log_pmu2'])}, log z2: "
-                            f"{float(losses['kld_z2'])}"
-                        )
+                    if stream_logs:
+                        tf = time.perf_counter()
+                        msg = self._format_loss_line(epoch, n_batches, losses)
+                        self._phase["fetch_s"] += time.perf_counter() - tf
+                        printf(msg, self.loss_file)
                     else:
-                        msg = (
-                            f"train epoch {epoch} batch {n_batches} loss_ce "
-                            f"{float(losses['loss_ce'])} loss average eeg "
-                            f"{float(losses['loss_avg'])}"
-                        )
-                    self._phase["fetch_s"] += time.perf_counter() - tf
-                    printf(msg, self.loss_file)
+                        pending_logs.append((n_batches, losses))
                 n_batches += max(pairs // cfg.batch_size, 1)
                 n_pairs += pairs
             tb = time.perf_counter()
             jax.block_until_ready(self.state.params)
             block_s = time.perf_counter() - tb
+            tf = time.perf_counter()
+            for nb, losses in pending_logs:
+                printf(
+                    self._format_loss_line(epoch, nb, losses), self.loss_file
+                )
+            self._phase["fetch_s"] += time.perf_counter() - tf
             epoch_time = time.time() - t0
             # persisted epoch timing (the reference only streams per-batch
             # losses; epoch wall-clock otherwise lives only in the returned

@@ -154,3 +154,27 @@ def trim_host_heap() -> None:
         ctypes.CDLL("libc.so.6").malloc_trim(0)
     except Exception:
         pass
+
+
+def host_rss_gb() -> float:
+    """Current process resident set in GiB (0.0 where /proc is absent).
+
+    Reads ``/proc/self/statm`` (pages) rather than ``ru_maxrss`` — the
+    latter is a high-water mark and cannot show that a trim/cache-release
+    actually lowered residency."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 2**30
+    except Exception:
+        return 0.0
+
+
+def host_mem_total_gb() -> float:
+    """Total host memory in GiB (0.0 where unknowable)."""
+    try:
+        return (
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+        )
+    except Exception:
+        return 0.0

@@ -394,6 +394,12 @@ def main() -> int:
             cmd += [f"--{key}", str(SHAPE[key])]
         if args.skip_eval:
             cmd.append("--skip_eval")
+        if args.env_decodable:
+            cmd += ["--env_decodable", "--env_gain", str(args.env_gain)]
+        if args.mm_subjects or args.mm_noise:
+            cmd += ["--mm_subjects", str(args.mm_subjects),
+                    "--mm_noise", str(args.mm_noise),
+                    "--mm_trials", str(args.mm_trials)]
         print(f"=== stage {stage} ===", flush=True)
         rc = subprocess.run(cmd, cwd=REPO).returncode
         if rc != 0:

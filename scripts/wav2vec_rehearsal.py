@@ -118,6 +118,12 @@ def run_cli(root: str, model_dir: str, dtype: str, timeout_s=None) -> dict:
         sys.executable, "-m", "transformer_clip_eeg_tpu.preprocess.wav2vec",
         "--dataset_root", root, "--model_path", model_dir,
         "--layers", *[str(x) for x in LAYERS], "--dtype", dtype,
+        # split the forward into frontend + encoder programs: this
+        # session's remote-compile service compiles each half (~210 s /
+        # ~60 s) but hangs >20 min on the fused program (both unrolled
+        # AND scanned variants — measured round 5); numerics identical
+        # (tests/test_wav2vec_extraction.py::test_split_programs_*)
+        "--split_programs", "yes",
     ]
     # persistent compile cache shared between the killed first pass and the
     # resume pass: a production operator restarting extraction would have

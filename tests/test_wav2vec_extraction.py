@@ -266,3 +266,42 @@ def test_max_chunk_batch_slicing_exact(tiny):
     for layer in (1, 3):
         assert got[layer].shape == ref[layer].shape
         np.testing.assert_allclose(got[layer], ref[layer], atol=1e-6)
+
+
+def test_split_programs_extraction_exact(tiny):
+    """split_programs=True (conv frontend + encoder as two jitted
+    programs — for remote-compile services that cap program size) must
+    produce byte-close features vs the fused forward, including the
+    scanned-encoder production combination."""
+    from transformer_clip_eeg_tpu.models.wav2vec2 import (
+        Wav2Vec2Model as _M,
+        stack_encoder_layers,
+    )
+
+    _, model, variables = tiny
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal(SR * 5 + 11).astype(np.float32)
+
+    fused = Wav2Vec2FeatureExtractor(
+        model, variables, layers=(2,), sr=SR, frames_per_s=FRAMES_PER_S,
+    )
+    split = Wav2Vec2FeatureExtractor(
+        model, variables, layers=(2,), sr=SR, frames_per_s=FRAMES_PER_S,
+        split_programs=True,
+    )
+    # and the production combination: split + scanned encoder + sliced
+    # stacked params
+    scan_model = _M(model.config, scan_layers=True)
+    scan_vars = stack_encoder_layers(
+        variables, 2, model.config.num_hidden_layers
+    )
+    split_scan = Wav2Vec2FeatureExtractor(
+        scan_model, scan_vars, layers=(2,), sr=SR,
+        frames_per_s=FRAMES_PER_S, split_programs=True,
+    )
+
+    ref = fused.get_hidden_output(audio, overlap=2, segment_length=2)[2]
+    for variant in (split, split_scan):
+        got = variant.get_hidden_output(audio, overlap=2, segment_length=2)[2]
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -131,6 +131,7 @@ class Wav2Vec2FeatureExtractor:
         frames_per_s: int = FRAMES_PER_S,
         mesh=None,
         max_chunk_batch: Optional[int] = 16,
+        split_programs: bool = False,
     ):
         """``mesh``: optional ``('data','model')`` mesh — batches shard over
         'data' and the encoder runs Megatron-sharded over 'model'
@@ -138,7 +139,16 @@ class Wav2Vec2FeatureExtractor:
 
         ``max_chunk_batch``: upper bound on the chunk batch per dispatch
         (``None`` = unbounded).  See the module docstring for why long
-        stories must not run as one batch."""
+        stories must not run as one batch.
+
+        ``split_programs``: compile the conv feature frontend and the
+        transformer encoder as TWO jitted programs instead of one fused
+        forward.  Identical numerics (same submodules, same params, one
+        extra HBM round-trip of the [B, frames, 512] conv features);
+        exists because this session's remote-compile service handles each
+        half (~210 s / ~60 s measured) but hangs on the fused program —
+        split mode keeps every program under that practical size limit.
+        Single-device only (mesh runs keep the fused forward)."""
         import jax
 
         self.model = model
@@ -147,6 +157,7 @@ class Wav2Vec2FeatureExtractor:
         self.frames_per_s = frames_per_s
         self.mesh = mesh
         self.max_chunk_batch = max_chunk_batch
+        self.split_programs = split_programs and mesh is None
         if mesh is not None:
             from transformer_clip_eeg_tpu.parallel.mesh import DATA_AXIS
             from transformer_clip_eeg_tpu.parallel.tp import (
@@ -165,16 +176,70 @@ class Wav2Vec2FeatureExtractor:
             self._batch_sharding = None
         self.variables = variables
 
-        @jax.jit
-        def forward(audio_batch):
-            # tap early-exit per requested layer; single-layer requests — the
-            # reference's run config — compile to exactly one partial stack
-            return {
-                layer: self.model.apply(
-                    self.variables, audio_batch, tap_layer=layer
+        # CRITICAL: the jitted programs take ``variables`` as an ARGUMENT,
+        # never a closure.  A closed-over param tree is baked into the HLO
+        # as constants — for XLSR-53 that is ~1.2 GB of weights INSIDE the
+        # program, which a remote-compile service must receive per compile
+        # (measured: ~26 min then a broken pipe over this session's
+        # ~30 MB/s tunnel).  As arguments the weights upload once via
+        # device_put and the HLO stays small.  (Mesh mode: the TP shim
+        # already placed them with their shardings.)
+        if mesh is None:
+            self.variables = jax.device_put(self.variables)
+
+        if self.split_programs:
+            import jax.numpy as jnp
+
+            from transformer_clip_eeg_tpu.models.wav2vec2 import (
+                FeatureEncoder,
+                FeatureProjection,
+                Wav2Vec2Encoder,
+            )
+
+            cfg = model.config
+            fe = FeatureEncoder(cfg, dtype=model.dtype)
+            fp = FeatureProjection(cfg, dtype=model.dtype)
+            enc = Wav2Vec2Encoder(
+                cfg, dtype=model.dtype, scan_layers=model.scan_layers
+            )
+
+            @jax.jit
+            def frontend(params, audio_batch):
+                feats = fe.apply(
+                    {"params": params["feature_extractor"]}, audio_batch
                 )
-                for layer in self.layers
-            }
+                return fp.apply(
+                    {"params": params["feature_projection"]}, feats
+                )
+
+            @jax.jit
+            def encode(params, hidden):
+                return {
+                    layer: enc.apply(
+                        {"params": params["encoder"]}, hidden,
+                        tap_layer=layer,
+                    ).astype(jnp.float32)
+                    for layer in self.layers
+                }
+
+            def forward(audio_batch):
+                params = self.variables["params"]
+                return encode(params, frontend(params, audio_batch))
+        else:
+            @jax.jit
+            def jit_fused(variables, audio_batch):
+                # tap early-exit per requested layer; single-layer requests
+                # — the reference's run config — compile to exactly one
+                # partial stack
+                return {
+                    layer: self.model.apply(
+                        variables, audio_batch, tap_layer=layer
+                    )
+                    for layer in self.layers
+                }
+
+            def forward(audio_batch):
+                return jit_fused(self.variables, audio_batch)
 
         self._jit_forward = forward
 
@@ -363,6 +428,11 @@ def main(argv=None) -> int:
                    help="Megatron-shard the encoder over a 'model' mesh "
                         "axis of this size (parallel/tp.py); must divide "
                         "the head count and FFN width")
+    p.add_argument("--split_programs", type=str, default="no",
+                   choices=["yes", "no"],
+                   help="compile conv frontend and transformer encoder as "
+                        "two jitted programs (identical numerics; for "
+                        "remote-compile services that cap program size)")
     p.add_argument("--scan_layers", type=str, default="yes",
                    choices=["yes", "no"],
                    help="run the transformer stack as one nn.scan over "
@@ -413,6 +483,7 @@ def main(argv=None) -> int:
     extractor = Wav2Vec2FeatureExtractor(
         model, variables, args.layers, mesh=mesh,
         max_chunk_batch=args.max_chunk_batch or None,
+        split_programs=args.split_programs == "yes",
     )
 
     stimuli_dir = os.path.join(args.dataset_root, "stimuli", "eeg")

@@ -41,13 +41,22 @@ from transformer_clip_eeg_tpu.ops.windowing import split_into_windows_np
 # Opt-in process-wide raw-file read cache for repeated ingests of the same
 # corpus (the CV driver's per-fold eval suites each re-ingest overlapping
 # train/val/test splits — 9 folds x ~8 GB of np.load at SparrKULee scale).
-# Keyed by path; values are the np.load result exactly.  None = disabled.
+# Keyed by path; values are READ-ONLY MEMMAPS of the .npy files, not heap
+# arrays: heap-cached arrays interleave with the eval suites' ~10 MB/array
+# churn and the resulting glibc fragmentation retains tens of GB that
+# malloc_trim cannot return (measured: the round-5 9-suite cv loop grew
+# 85 → 118 GB RSS and needed an emergency swapfile, SCALE.md).  Memmap
+# pages are file-backed: they live in the kernel page cache, are evicted
+# under memory pressure, and contribute nothing to the process heap.
+# Downstream ingest consumes them via views/copies exactly like heap
+# arrays (numpy.memmap is an ndarray).  None = disabled.
 _FILE_CACHE: Optional[dict] = None
 
 
 def set_ingest_file_cache(cache: Optional[dict]) -> None:
-    """Install (or clear, with ``None``) a dict used to memoize ``np.load``
-    during dataset ingest.  The caller owns the dict and its lifetime."""
+    """Install (or clear, with ``None``) a dict used to memoize raw-file
+    reads during dataset ingest.  The caller owns the dict and its
+    lifetime."""
     global _FILE_CACHE
     _FILE_CACHE = cache
 
@@ -58,7 +67,10 @@ def _cached_load(path: str):
         return np.load(path)
     arr = cache.get(path)
     if arr is None:
-        arr = np.load(path)
+        try:
+            arr = np.load(path, mmap_mode="r")
+        except ValueError:  # pickled/compressed .npy — fall back to heap
+            arr = np.load(path)
         cache[path] = arr
     return arr
 

@@ -80,6 +80,18 @@ def stage_gen(args) -> dict:
 
     marker = os.path.join(args.root, ".scale_generated.json")
     if os.path.exists(marker):
+        # the corpus itself is expensive and idempotent — keep it.  But the
+        # MM eval set regen exists precisely to RE-generate the eval tree
+        # of an existing fixture (a new subject count / noise calibration),
+        # so mm flags must not be silently ignored by the marker.
+        if args.mm_subjects or args.mm_noise is not None:
+            regen_icassp_testset(
+                args.root, speech_dim=SHAPE["speech_dim"],
+                n_subjects=args.mm_subjects or 14,
+                noise=12.0 if args.mm_noise is None else args.mm_noise,
+                trials=args.mm_trials, env_decodable=args.env_decodable,
+                env_gain=args.env_gain,
+            )
         with open(marker) as f:
             return {"stage": "gen", "skipped": True, **json.load(f)}
     t0 = time.time()
@@ -91,13 +103,16 @@ def stage_gen(args) -> dict:
         shape["env_decodable"] = True
         shape["env_gain"] = args.env_gain
     make_fixture(args.root, **shape)
-    if args.mm_subjects or args.mm_noise:
+    if args.mm_subjects or args.mm_noise is not None:
         # non-saturating held-out MM eval set (round-4 recipe: 14 subjects,
         # noise std 12 against the unit-variance projected-speech signal,
-        # 64 trials/subject — calibrated mid-range, SCALE.md)
+        # 64 trials/subject — calibrated mid-range, SCALE.md).  noise is
+        # compared against None, not truthiness: --mm_noise 0 is a valid
+        # request for a noiseless positive-control set
         regen_icassp_testset(
             args.root, speech_dim=shape["speech_dim"],
-            n_subjects=args.mm_subjects or 14, noise=args.mm_noise or 12.0,
+            n_subjects=args.mm_subjects or 14,
+            noise=12.0 if args.mm_noise is None else args.mm_noise,
             trials=args.mm_trials, env_decodable=args.env_decodable,
             env_gain=args.env_gain,
         )
@@ -358,9 +373,11 @@ def main() -> int:
     ap.add_argument("--mm_subjects", type=int, default=0,
                     help="regenerate the held-out ICASSP MM set with this "
                          "many subjects (0 = keep make_fixture's default)")
-    ap.add_argument("--mm_noise", type=float, default=0.0,
+    ap.add_argument("--mm_noise", type=float, default=None,
                     help="EEG noise std for the regenerated MM set "
-                         "(round-4 calibration: 12)")
+                         "(round-4 calibration: 12; 0 = noiseless "
+                         "positive control; omitted = no regen unless "
+                         "--mm_subjects is set)")
     ap.add_argument("--mm_trials", type=int, default=64)
     ap.add_argument("--folds", type=int, nargs="+", default=[0, 1],
                     help="folds for the cv stage")
@@ -396,10 +413,11 @@ def main() -> int:
             cmd.append("--skip_eval")
         if args.env_decodable:
             cmd += ["--env_decodable", "--env_gain", str(args.env_gain)]
-        if args.mm_subjects or args.mm_noise:
+        if args.mm_subjects or args.mm_noise is not None:
             cmd += ["--mm_subjects", str(args.mm_subjects),
-                    "--mm_noise", str(args.mm_noise),
                     "--mm_trials", str(args.mm_trials)]
+            if args.mm_noise is not None:
+                cmd += ["--mm_noise", str(args.mm_noise)]
         print(f"=== stage {stage} ===", flush=True)
         rc = subprocess.run(cmd, cwd=REPO).returncode
         if rc != 0:

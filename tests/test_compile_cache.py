@@ -110,6 +110,40 @@ def test_empty_dir_is_noop(_restore_cache_config):
     assert jax.config.jax_compilation_cache_dir == before
 
 
+def test_auto_sentinel_must_be_resolved(tmp_path, _restore_cache_config):
+    """'auto' is a config sentinel, never a literal directory: enabling it
+    unresolved would create ./auto in whatever cwd the process runs from
+    (the serving-process bug of round 5's review)."""
+    from transformer_clip_eeg_tpu.utils.platform import (
+        resolve_compile_cache_dir,
+    )
+
+    with pytest.raises(ValueError):
+        enable_compile_cache("auto")
+    root = str(tmp_path / "results")
+    assert resolve_compile_cache_dir("auto", root) == os.path.join(
+        os.path.abspath(root), "jit_cache"
+    )
+    assert resolve_compile_cache_dir("", root) == ""
+    assert resolve_compile_cache_dir("/fast/cache", root) == "/fast/cache"
+
+
+def test_cli_flag_distinguishes_omitted_from_disabled():
+    """--compile_cache_dir: omitted (None) keeps the persisted value under
+    --only_evaluate; explicit '' disables; explicit path overrides.  A
+    truthiness test could not tell omitted from disabled."""
+    from transformer_clip_eeg_tpu.cli import build_arg_parser
+
+    base = ["--data_dir", "/tmp/x"]
+    assert build_arg_parser().parse_args(base).compile_cache_dir is None
+    assert build_arg_parser().parse_args(
+        base + ["--compile_cache_dir", ""]
+    ).compile_cache_dir == ""
+    assert build_arg_parser().parse_args(
+        base + ["--compile_cache_dir", "/fast"]
+    ).compile_cache_dir == "/fast"
+
+
 def test_env_var_wins_and_warns(tmp_path, _restore_cache_config,
                                 monkeypatch, capsys):
     """JAX_COMPILATION_CACHE_DIR beats the flag (jax consumed it at import

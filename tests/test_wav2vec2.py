@@ -126,6 +126,30 @@ def _find_real_xlsr_checkpoint():
     return None
 
 
+def test_stack_encoder_layers_tap0():
+    """tap_layer=0 (the post-positional-conv input, a documented valid tap)
+    must produce an empty-depth scan stack, not crash: jax.tree.map with
+    zero trees raises TypeError."""
+    import numpy as _np
+
+    from transformer_clip_eeg_tpu.models.wav2vec2 import stack_encoder_layers
+
+    vars_ = {"params": {"encoder": {
+        "layers_0": {"attn": {"w": _np.ones((3, 4), _np.float32)}},
+        "layers_1": {"attn": {"w": _np.full((3, 4), 2.0, _np.float32)}},
+        "pos_conv_embed": {"k": _np.zeros(5, _np.float32)},
+    }}}
+    out = stack_encoder_layers(vars_, 0, 2)
+    enc = out["params"]["encoder"]
+    assert enc["layers_scan"]["layer"]["attn"]["w"].shape == (0, 3, 4)
+    assert "layers_0" not in enc and "layers_1" not in enc
+    # tap 1 keeps exactly the first layer's values
+    out1 = stack_encoder_layers(vars_, 1, 2)
+    w1 = out1["params"]["encoder"]["layers_scan"]["layer"]["attn"]["w"]
+    assert w1.shape == (1, 3, 4)
+    _np.testing.assert_array_equal(w1[0], _np.ones((3, 4)))
+
+
 def test_real_xlsr_checkpoint_golden():
     """Feature-level interop with the reference's REAL pretrained weights
     (VERDICT r4 #7): layer-19 hidden states of the actual Dutch XLSR-53

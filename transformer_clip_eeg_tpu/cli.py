@@ -147,12 +147,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="per-100-batch loss lines: 'epoch' defers the "
                         "device fetch to end of epoch (no mid-epoch sync; "
                         "default), 'batch' streams live")
-    p.add_argument("--compile_cache_dir", type=str, default="auto",
+    p.add_argument("--compile_cache_dir", type=str, default=None,
                    help="persistent XLA compilation cache; restarts / "
                         "--only_evaluate / serving deserialize compiled "
                         "programs instead of recompiling (~20-40s saved "
-                        "per process on TPU).  'auto' (default) = a "
-                        "jit_cache/ sibling of the run dir; '' disables")
+                        "per process on TPU).  'auto' (the default when "
+                        "the flag is omitted) = a jit_cache/ sibling of "
+                        "the run dir; '' disables.  Under --only_evaluate "
+                        "an omitted flag keeps the run's persisted value")
     return p
 
 
@@ -201,10 +203,15 @@ def main(argv=None) -> int:
         # the eval reload runs in a fresh process and benefits from the
         # persistent compile cache just like a restart — honor a cache dir
         # passed on THIS command line even when the original run saved none
-        # (an explicit flag beats the persisted value; ADVICE r2)
-        if args.compile_cache_dir:
+        # (an explicit flag beats the persisted value; ADVICE r2).  The
+        # flag default is None = "not passed", so an omitted flag keeps
+        # the run's persisted value and an explicit '' disables the cache
+        # (a truthiness test could not tell those apart)
+        if args.compile_cache_dir is not None:
             cfg.compile_cache_dir = args.compile_cache_dir
     else:
+        if args.compile_cache_dir is None:
+            args.compile_cache_dir = "auto"  # the TrainConfig default
         known = {f.name for f in dataclasses.fields(TrainConfig)}
         cfg = TrainConfig(
             **{k: v for k, v in vars(args).items() if k in known}

@@ -42,6 +42,8 @@ def _run_parallel(folds: List[int], results_folder: str, passthrough,
     )
 
     targs = build_arg_parser().parse_args(list(passthrough))
+    if targs.compile_cache_dir is None:
+        targs.compile_cache_dir = "auto"  # flag omitted → config default
     known = {f.name for f in dataclasses.fields(TrainConfig)}
     cfg = TrainConfig(
         **{k: v for k, v in vars(targs).items() if k in known}

@@ -312,9 +312,20 @@ def stack_encoder_layers(variables: Dict[str, Any], tap_layer: Optional[int],
     # drop layers beyond the tap entirely (the reference computes and
     # discards them, ref create_wav2vec.py:109-119; here they never enter
     # the program)
-    stacked = jax.tree.map(
-        lambda *xs: np.stack(xs, axis=0), *per_layer[:depth]
-    )
+    if depth == 0:
+        # tap 0 = the post-positional-conv input: the encoder returns
+        # before the scan, but the key must still exist (checkpoint/TP
+        # partition-rule introspection walks the tree) — give every leaf
+        # an empty leading scan axis.  jax.tree.map with zero trees would
+        # raise TypeError here.
+        stacked = jax.tree.map(
+            lambda x: np.zeros((0,) + np.shape(x), np.asarray(x).dtype),
+            per_layer[0],
+        )
+    else:
+        stacked = jax.tree.map(
+            lambda *xs: np.stack(xs, axis=0), *per_layer[:depth]
+        )
     enc["layers_scan"] = {"layer": stacked}
     params["encoder"] = enc
     return {**variables, "params": params}

@@ -153,10 +153,17 @@ class InferenceSession:
         if getattr(cfg, "compile_cache_dir", ""):
             from transformer_clip_eeg_tpu.utils.platform import (
                 enable_compile_cache,
+                resolve_compile_cache_dir,
             )
 
             if not jax.config.jax_compilation_cache_dir:
-                enable_compile_cache(cfg.compile_cache_dir)
+                # "auto" resolves against the run dir's PARENT — the same
+                # jit_cache/ sibling training used, so serving deserializes
+                # the very executables the training process persisted
+                enable_compile_cache(resolve_compile_cache_dir(
+                    cfg.compile_cache_dir,
+                    os.path.dirname(os.path.abspath(results_dir)),
+                ))
         ckpt_path = os.path.join(results_dir, "checkpoints", CKPT_NAME)
         if not os.path.exists(ckpt_path):
             raise FileNotFoundError(f"no checkpoint at {ckpt_path}")

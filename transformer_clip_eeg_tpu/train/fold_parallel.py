@@ -318,17 +318,15 @@ class FoldParallelTrainer:
         from transformer_clip_eeg_tpu.utils.platform import (
             configure_prng_impl,
             enable_compile_cache,
+            resolve_compile_cache_dir,
         )
 
         configure_prng_impl(cfg.prng_impl)  # before any PRNGKey below
         # before the first jit; "auto" = jit_cache/ sibling of the fold
         # run dirs (same contract as Trainer, VERDICT r4 #4a)
-        cache_dir = cfg.compile_cache_dir
-        if cache_dir == "auto":
-            cache_dir = os.path.join(
-                os.path.abspath(results_root), "jit_cache"
-            )
-        enable_compile_cache(cache_dir)
+        enable_compile_cache(
+            resolve_compile_cache_dir(cfg.compile_cache_dir, results_root)
+        )
         self.cfg = cfg
         self.folds = list(folds)
         F = len(self.folds)

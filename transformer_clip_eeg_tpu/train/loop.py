@@ -149,6 +149,7 @@ class Trainer:
         from transformer_clip_eeg_tpu.utils.platform import (
             configure_prng_impl,
             enable_compile_cache,
+            resolve_compile_cache_dir,
         )
 
         # before any PRNGKey below (init, train rng) so they pick it up
@@ -168,13 +169,10 @@ class Trainer:
         # dir — shared by every run under the same results folder, so the
         # second run (or the cv loop's next fold process, or a restart at
         # scale) skips the ~20-40 s TPU compile (VERDICT r4 #4a)
-        cache_dir = config.compile_cache_dir
-        if cache_dir == "auto":
-            cache_dir = os.path.join(
-                os.path.dirname(os.path.abspath(self.results_dir)),
-                "jit_cache",
-            )
-        enable_compile_cache(cache_dir)
+        enable_compile_cache(resolve_compile_cache_dir(
+            config.compile_cache_dir,
+            os.path.dirname(os.path.abspath(self.results_dir)),
+        ))
 
         cfg = config
         # memory-bank sizing (ref train_clip_final.py:367-372)
@@ -506,22 +504,40 @@ class Trainer:
             # batch restores live streaming for interactive debugging.
             stream_logs = cfg.loss_log_stream == "batch"
             pending_logs: List[Tuple[int, Dict]] = []
-            for item in self._train_batches(warmup):
-                # an item may cover several batches (the chunk-scan path
-                # yields a whole chunk with per-chunk mean losses); log at
-                # every crossing of the 100-batch mark (ref :494-500)
-                self.state, losses, pairs = item
-                if n_batches >= next_log:
-                    next_log = n_batches - (n_batches % 100) + 100
-                    if stream_logs:
-                        tf = time.perf_counter()
-                        msg = self._format_loss_line(epoch, n_batches, losses)
-                        self._phase["fetch_s"] += time.perf_counter() - tf
-                        printf(msg, self.loss_file)
-                    else:
-                        pending_logs.append((n_batches, losses))
-                n_batches += max(pairs // cfg.batch_size, 1)
-                n_pairs += pairs
+            try:
+                for item in self._train_batches(warmup):
+                    # an item may cover several batches (the chunk-scan path
+                    # yields a whole chunk with per-chunk mean losses); log at
+                    # every crossing of the 100-batch mark (ref :494-500)
+                    self.state, losses, pairs = item
+                    if n_batches >= next_log:
+                        next_log = n_batches - (n_batches % 100) + 100
+                        if stream_logs:
+                            tf = time.perf_counter()
+                            msg = self._format_loss_line(
+                                epoch, n_batches, losses
+                            )
+                            self._phase["fetch_s"] += time.perf_counter() - tf
+                            printf(msg, self.loss_file)
+                        else:
+                            pending_logs.append((n_batches, losses))
+                    n_batches += max(pairs // cfg.batch_size, 1)
+                    n_pairs += pairs
+            except BaseException:
+                # a mid-epoch crash (NaN divergence, device OOM, SIGTERM)
+                # must not eat the deferred loss lines — they are exactly
+                # the diagnostic that localizes the failure.  Fetch what we
+                # can; a dead device makes the fetch itself raise, so stop
+                # at the first unfetchable scalar.
+                for nb, losses in pending_logs:
+                    try:
+                        printf(
+                            self._format_loss_line(epoch, nb, losses),
+                            self.loss_file,
+                        )
+                    except Exception:
+                        break
+                raise
             tb = time.perf_counter()
             jax.block_until_ready(self.state.params)
             block_s = time.perf_counter() - tb

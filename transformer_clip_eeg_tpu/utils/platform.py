@@ -76,6 +76,26 @@ def configure_prng_impl(impl: str) -> None:
     jax.config.update("jax_default_prng_impl", impl)
 
 
+def resolve_compile_cache_dir(raw: str, results_root: str) -> str:
+    """Resolve a config's ``compile_cache_dir`` value to a real path.
+
+    ``"auto"`` (the config default) means "a ``jit_cache/`` directory under
+    ``results_root``" — shared by every run under the same results folder,
+    so restarts, ``--only_evaluate`` reloads, the cv loop's next fold
+    process, and serving sessions all deserialize the compiled programs
+    instead of paying the ~20–40 s TPU compile again.  ``""`` disables the
+    cache; any other value is an explicit directory and passes through.
+
+    Every consumer of ``TrainConfig.compile_cache_dir`` must resolve
+    through here before calling :func:`enable_compile_cache` — passing the
+    ``"auto"`` sentinel straight through would create a literal ``./auto``
+    directory in the process cwd.
+    """
+    if raw == "auto":
+        return os.path.join(os.path.abspath(results_root), "jit_cache")
+    return raw
+
+
 def enable_compile_cache(
     cache_dir: str, min_compile_time_secs: float = 1.0
 ) -> None:
@@ -99,6 +119,13 @@ def enable_compile_cache(
     """
     if not cache_dir:
         return
+    if cache_dir == "auto":
+        # the config sentinel must be resolved against a results root
+        # first — enabling it literally would litter ./auto in the cwd
+        raise ValueError(
+            "compile_cache_dir='auto' is a config sentinel; resolve it "
+            "with resolve_compile_cache_dir(raw, results_root) first"
+        )
     env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if env:
         if os.path.abspath(env) != os.path.abspath(cache_dir):
@@ -171,10 +198,37 @@ def host_rss_gb() -> float:
 
 
 def host_mem_total_gb() -> float:
-    """Total host memory in GiB (0.0 where unknowable)."""
+    """Memory actually available to THIS process in GiB (0.0 if unknowable).
+
+    The minimum of physical RAM and any cgroup limit: inside a container
+    capped below the machine's RAM, sizing a guard off SC_PHYS_PAGES alone
+    would let the process sail past the cgroup ceiling and get OOM-killed
+    before the guard ever fires (the fold-5 failure mode of SCALE.md r4,
+    reproduced in a memory-limited container)."""
+    phys = 0.0
     try:
-        return (
+        phys = (
             os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
         )
     except Exception:
-        return 0.0
+        pass
+    limits = [phys] if phys else []
+    for path in (
+        "/sys/fs/cgroup/memory.max",              # cgroup v2
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
+    ):
+        try:
+            raw = open(path).read().strip()
+        except OSError:
+            continue
+        if raw == "max":
+            continue
+        try:
+            val = int(raw) / 2**30
+        except ValueError:
+            continue
+        # v1 reports "no limit" as a huge page-rounded number; ignore
+        # anything that isn't a real cap below ~1 PiB
+        if 0 < val < 2**20:
+            limits.append(val)
+    return min(limits) if limits else 0.0

@@ -381,9 +381,17 @@ def main(argv=None) -> int:
                          "instead of recompiling")
     args = ap.parse_args(argv)
 
-    from transformer_clip_eeg_tpu.utils.platform import enable_compile_cache
+    from transformer_clip_eeg_tpu.utils.platform import (
+        enable_compile_cache,
+        resolve_compile_cache_dir,
+    )
 
-    enable_compile_cache(args.compile_cache_dir)
+    # 'auto' = the training run's jit_cache/ sibling (same contract as the
+    # train CLI), so an explicit --compile_cache_dir auto works here too
+    enable_compile_cache(resolve_compile_cache_dir(
+        args.compile_cache_dir,
+        os.path.dirname(os.path.abspath(args.results_folder)),
+    ))
 
     # retrieval needs the full (--eeg, --candidates, --topk) triple —
     # reject partial combinations instead of silently embedding

@@ -324,3 +324,31 @@ def test_restore_incompatible_checkpoint_starts_fresh(fixture_root, tmp_path):
     # different optimizer → incompatible opt_state tree in the template
     restored = ckpt_lib.restore_checkpoint(d, mk(optax.sgd(1e-3)))
     assert restored is None
+
+
+def test_crash_flushes_deferred_loss_lines(fixture_root, tmp_path):
+    """With the default --loss_log_stream epoch, per-100-batch loss lines
+    are held until the epoch drains.  A mid-epoch crash must flush the
+    pending lines to loss.txt before re-raising — they are the diagnostic
+    that localizes a divergence."""
+    cfg = small_config(fixture_root, epochs=1)
+    train_ds, val_ds = make_datasets(cfg)
+    results_dir = str(tmp_path / "results_crash")
+    trainer = Trainer(cfg, train_ds, val_ds, results_dir=results_dir)
+
+    real = trainer._train_batches
+
+    def exploding(warmup):
+        it = real(warmup)
+        yield next(it)  # one item → one pending loss line (next_log = 0)
+        raise RuntimeError("synthetic mid-epoch crash")
+
+    trainer._train_batches = exploding
+    with pytest.raises(RuntimeError, match="synthetic mid-epoch crash"):
+        trainer.fit()
+    with open(os.path.join(results_dir, "loss.txt")) as f:
+        content = f.read()
+    assert "loss" in content, (
+        "the deferred per-100-batch line was not flushed on crash:\n"
+        + content
+    )
